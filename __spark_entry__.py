@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end linkage on sf0.001;
+``queries()`` exposes each implemented operator; ``oracle_sql()`` holds the
+DuckDB-runnable ANSI-SQL twin for every SQL-expressible query (built in
+``addressparser_spark/oracle.py`` from the same constants as the engine).
 """
 
 from __future__ import annotations
@@ -13,26 +12,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from addressparser_spark import oracle, queries as q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full linkage (normalize→block→pair→score→cluster) on sf0.001."""
+    return q.er_linkage_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "er_normalize_turns": q.er_normalize_turns,
+        "er_conv_signatures": q.er_conv_signatures,
+        "er_exact_dup_clusters": q.er_exact_dup_clusters,
+        "er_minhash_bands": q.er_minhash_bands,
+        "er_block_table": q.er_block_table,
+        "er_candidate_pairs": q.er_candidate_pairs,
+        "er_scored_pairs": q.er_scored_pairs,
+        "er_linkage_clusters": q.er_linkage_clusters,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "er_normalize_turns": oracle.normalize_turns_sql(),
+        "er_conv_signatures": oracle.conv_signatures_sql(),
+        "er_exact_dup_clusters": oracle.exact_dup_clusters_sql(),
+        "er_minhash_bands": oracle.minhash_bands_sql(),
+        "er_block_table": oracle.block_table_sql(),
+        "er_candidate_pairs": oracle.candidate_pairs_sql(),
+        "er_scored_pairs": oracle.scored_pairs_sql(),
+        "er_linkage_clusters": oracle.linkage_clusters_sql(),
+    }

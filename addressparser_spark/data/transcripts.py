@@ -1,0 +1,134 @@
+"""Deterministic transcripts derivation from the ``documents`` table.
+
+The engine's primary input is a table of multi-turn conversation/agent
+transcripts ``(conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp)``. The sandbox ships no such table, so we derive
+one *deterministically* from ``documents.parquet`` — twice, with identical
+semantics:
+
+- :func:`transcripts_df`  — Spark DataFrame (the engine input)
+- :data:`TRANSCRIPTS_CTE_DUCKDB` — DuckDB CTE (the driver-oracle input)
+
+Derivation (sf-independent, pure arithmetic on ``doc_id``):
+
+- 5 consecutive docs form one conversation: ``conv_num = doc_id // 5``,
+  ``turn_idx = doc_id % 5``.
+- ``role``: ``doc_id%2==0`` -> 'user' (the deliberately hot key, ~50% of rows,
+  exercising skew handling), ``doc_id%4==1`` -> 'assistant', else 'tool'.
+- ``tool`` non-null only for role='tool'.
+- ``ts`` = 2024-01-01T00:00:00Z + doc_id minutes.
+
+Ground-truth duplicate injection (the labeled clusters the pipeline must
+recover — analog of the reference resolving noisy re-spellings of one address
+to one ``Addresses.Id``, ``Db/DataContextBase_Address.cs:359-440``): every
+even-numbered conversation emits one variant conversation under a new id:
+
+- ``conv_num % 6 == 0`` -> ``*_v1``: upper-cased text        (exact dup after normalize)
+- ``conv_num % 6 == 2`` -> ``*_v2``: doubled spaces + ' ???' (exact dup after normalize)
+- ``conv_num % 6 == 4`` -> ``*_v3``: first 3 turns only      (resumption: near-dup)
+
+So ground truth: ``conv_XXXXXX`` and ``conv_XXXXXX_vK`` are the same entity;
+cluster representative = the base conv_id (min by string order, since
+``x < x_v1``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TURNS_PER_CONV = 5
+_EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+
+def _base_turns(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    conv_num = F.floor(d / TURNS_PER_CONV).cast("bigint")
+    return docs.select(
+        conv_num.alias("conv_num"),
+        F.concat(F.lit("conv_"), F.lpad(conv_num.cast("string"), 6, "0")).alias("conv_id"),
+        (d % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+        F.when(d % 2 == 0, "user")
+        .when(d % 4 == 1, "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        F.col("text"),
+        F.when(d % 4 == 3, F.when(d % 8 == 3, "bash").otherwise("search")).alias("tool"),
+        F.timestamp_seconds(F.lit(_EPOCH_2024) + d * 60).alias("ts"),
+    )
+
+
+def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's input table, derived from ``{sf_dir}/documents.parquet``."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _base_turns(docs)
+
+    v1 = (
+        base.filter(F.col("conv_num") % 6 == 0)
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_v1")))
+        .withColumn("text", F.upper(F.col("text")))
+    )
+    v2 = (
+        base.filter(F.col("conv_num") % 6 == 2)
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_v2")))
+        .withColumn("text", F.concat(F.regexp_replace(F.col("text"), " ", "  "), F.lit(" ???")))
+    )
+    v3 = (
+        base.filter((F.col("conv_num") % 6 == 4) & (F.col("turn_idx") < 3))
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_v3")))
+    )
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    return base.select(cols).unionByName(v1.select(cols)).unionByName(v2.select(cols)).unionByName(v3.select(cols))
+
+
+def truth_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth ``(conv_id, cluster_id)``: variants map to their base conv."""
+    t = transcripts_df(spark, sf_dir).select("conv_id").distinct()
+    return t.select(
+        "conv_id",
+        F.regexp_replace("conv_id", "_v[123]$", "").alias("cluster_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB side (driver oracle). Semantically identical to transcripts_df.
+# ---------------------------------------------------------------------------
+
+_BASE_SQL = f"""
+  SELECT CAST(floor(doc_id / {TURNS_PER_CONV}) AS BIGINT) AS conv_num,
+         'conv_' || lpad(CAST(CAST(floor(doc_id / {TURNS_PER_CONV}) AS BIGINT) AS STRING), 6, '0') AS conv_id,
+         CAST(doc_id % {TURNS_PER_CONV} AS INT) AS turn_idx,
+         CASE WHEN doc_id % 2 = 0 THEN 'user'
+              WHEN doc_id % 4 = 1 THEN 'assistant'
+              ELSE 'tool' END AS role,
+         text,
+         CASE WHEN doc_id % 4 = 3
+              THEN (CASE WHEN doc_id % 8 = 3 THEN 'bash' ELSE 'search' END) END AS tool,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE AS ts
+  FROM documents
+"""
+
+TRANSCRIPTS_CTE_DUCKDB = f"""
+base_turns AS ({_BASE_SQL}),
+transcripts AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM base_turns
+  UNION ALL
+  SELECT conv_id || '_v1', turn_idx, role, upper(text), tool, ts
+  FROM base_turns WHERE conv_num % 6 = 0
+  UNION ALL
+  SELECT conv_id || '_v2', turn_idx, role, replace(text, ' ', '  ') || ' ???', tool, ts
+  FROM base_turns WHERE conv_num % 6 = 2
+  UNION ALL
+  SELECT conv_id || '_v3', turn_idx, role, text, tool, ts
+  FROM base_turns WHERE conv_num % 6 = 4 AND turn_idx < 3
+)
+"""
+
+
+def with_transcripts_cte(sql: str, extra_ctes: str = "") -> str:
+    """Wrap an oracle query so it can reference the ``transcripts`` view."""
+    return f"WITH {TRANSCRIPTS_CTE_DUCKDB}{extra_ctes}\n{sql}"

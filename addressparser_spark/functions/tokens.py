@@ -1,0 +1,40 @@
+"""Tokens and shingles as Catalyst-native array expressions.
+
+Analog of the reference's blocking-key expansion (``SplitNamesBySpace``
+sliding word-windows, ``Parser.cs:302-363``): we bound the candidate space
+with token k-gram shingles over a conversation's concatenated normalized
+turns instead of word-window variations, but the role is identical — a
+deterministic, bounded set of lookup keys per entity.
+
+Everything here is a Column expression (whole-stage codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens_col(norm_text: Column) -> Column:
+    """Split an already-normalized text into tokens, dropping empties."""
+    return F.filter(F.split(norm_text, " "), lambda t: t != "")
+
+
+def shingles_col(tokens: Column, k: int = 3) -> Column:
+    """Contiguous k-gram shingles (space-joined) over a token array.
+
+    Fewer than ``k`` tokens -> one shingle of the whole array, so short
+    conversations still get a key (reference keeps 1-word parts unless
+    subsumed, ``Parser.cs:524-531``).
+    """
+    n = F.size(tokens)
+    full = F.array(F.array_join(tokens, " "))
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
+    )
+    return F.when(n <= k, full).otherwise(grams)
+
+
+def distinct_shingles_col(tokens: Column, k: int = 3) -> Column:
+    return F.array_distinct(shingles_col(tokens, k))

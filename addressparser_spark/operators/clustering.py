@@ -1,0 +1,136 @@
+"""Transitive clustering: large-star/small-star connected components.
+
+The reference resolves a candidate forest to one canonical entity id through
+in-memory parent walks + a MERGE upsert (``AddressSearcher.cs:43-67``,
+``Db/DataContextBase_Address.cs:359-440``). At 10^12-turn scale the analog is
+connected components over the matched-pair edge list, computed with the
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — each phase is one
+groupBy+min+explode, convergence in O(log n) rounds, no driver-side graph.
+
+Determinism: components are labeled by their lexicographic min node id, so
+cluster ids are stable across runs/partitionings (replacing the reference's
+order-dependent ``First()`` tie-breaks, ``AddressChooser.cs:30,62``).
+
+Resumability: every iteration checkpoints its edge frontier to
+``<checkpoint_dir>/iter_<k>`` (parquet here; Iceberg table-per-iteration in a
+catalog deployment) and ``connected_components`` resumes from the newest
+complete checkpoint — kill it at iteration k, rerun, and it continues from k.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect neighbors v > u to min(N(u) ∪ {u})."""
+    nbrs = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("u"), F.col("mv"))
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), m.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges big->small; connect each small neighbor (and u) to the min."""
+    nbrs = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+    relink = nbrs.join(mins, "u").select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    self_link = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return (
+        relink.unionAll(self_link)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _checkpoint(
+    spark: SparkSession, df: DataFrame, checkpoint_dir: str | None, it: int
+) -> DataFrame:
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    path = os.path.join(checkpoint_dir, f"iter_{it:03d}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _resume_iteration(spark: SparkSession, checkpoint_dir: str) -> tuple[int, DataFrame | None]:
+    if not os.path.isdir(checkpoint_dir):
+        return 0, None
+    done = sorted(
+        d for d in os.listdir(checkpoint_dir)
+        if d.startswith("iter_") and os.path.exists(os.path.join(checkpoint_dir, d, "_SUCCESS"))
+    )
+    if not done:
+        return 0, None
+    last = done[-1]
+    return int(last.split("_")[1]) + 1, spark.read.parquet(os.path.join(checkpoint_dir, last))
+
+
+def connected_components(
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_iter: int = 25,
+    resume: bool = True,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``.
+
+    ``component`` is the lexicographic min node id of the connected component.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+
+    start_it = 0
+    if checkpoint_dir is not None and resume:
+        start_it, resumed = _resume_iteration(spark, checkpoint_dir)
+        if resumed is not None:
+            e = resumed
+
+    prev_fp = _edge_fingerprint(e)
+    for it in range(start_it, max_iter):
+        e = _small_star(_large_star(e))
+        e = _checkpoint(spark, e, checkpoint_dir, it)
+        fp = _edge_fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} iterations")
+
+    # Converged: every edge points node -> component min. Reps map to themselves.
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    reps = e.select(F.col("dst").alias("node"), F.col("dst").alias("component")).distinct()
+    return members.unionByName(reps).distinct()
+
+
+def assign_clusters(nodes: DataFrame, components: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """Left-join components onto the full node set; singletons are their own cluster."""
+    out = nodes.select(F.col(id_col).alias("conv_id")).distinct().join(
+        components.withColumnRenamed("node", "conv_id"), "conv_id", "left"
+    )
+    return out.select(
+        "conv_id", F.coalesce("component", "conv_id").alias("cluster_id")
+    )

@@ -1,0 +1,55 @@
+"""Candidate-pair generation within blocks, with skew guardrails.
+
+The quadratic blowup inside a hot block is the scale risk (a block of n
+conversations yields n(n-1)/2 pairs). Mirroring the reference's candidate-set
+guardrail (short-circuit at 100 candidates, ``AddressSearcher.cs:69``), blocks
+larger than ``max_block_size`` are DROPPED from pair generation and **counted**
+— never silently (the cap + dropped-block metrics surface in the pipeline's
+lineage output). Within-threshold skew is left to AQE's skew-join splitting
+(enabled in session.py).
+
+The pair join is a self equi-join on ``block_key`` — a shuffle hash join on a
+uniformly-distributed md5 key; `conv_a < conv_b` canonicalizes orientation and
+``dropDuplicates`` merges pairs discovered via multiple key families (a pair
+found by both `sig` and an LSH band scores once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_BLOCK_SIZE = 100
+
+
+def block_sizes(blocks: DataFrame) -> DataFrame:
+    return blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("block_n"))
+
+
+def capped_blocks(blocks: DataFrame, max_block_size: int = MAX_BLOCK_SIZE) -> tuple[DataFrame, DataFrame]:
+    """Split blocks into (kept, dropped_oversized_stats)."""
+    sizes = block_sizes(blocks)
+    kept = (
+        blocks.join(sizes.filter(F.col("block_n") <= max_block_size), "block_key", "left_semi")
+    )
+    dropped = sizes.filter(F.col("block_n") > max_block_size).select(
+        "block_key",
+        "block_n",
+        ((F.col("block_n") * (F.col("block_n") - 1)) / 2).cast("bigint").alias("pairs_dropped"),
+    )
+    return kept, dropped
+
+
+def candidate_pairs(
+    blocks: DataFrame, max_block_size: int = MAX_BLOCK_SIZE
+) -> DataFrame:
+    """(conv_a, conv_b) with conv_a < conv_b, deduped across key families."""
+    kept, _ = capped_blocks(blocks, max_block_size)
+    a = kept.select(F.col("block_key"), F.col("conv_id").alias("conv_a"))
+    b = kept.select(F.col("block_key"), F.col("conv_id").alias("conv_b"))
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("conv_a") < F.col("conv_b"))
+        .select("conv_a", "conv_b")
+        .dropDuplicates(["conv_a", "conv_b"])
+    )

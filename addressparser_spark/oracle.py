@@ -1,0 +1,242 @@
+"""DuckDB-SQL twins of the pipeline stages, for the driver correctness gate.
+
+Every SQL-expressible operator in the engine has an ANSI-SQL equivalent here,
+assembled from the same constants as the Spark implementation (NUM_HASHES,
+band layout, thresholds...) so the two can't drift silently. The driver runs
+the Spark query and this SQL side-by-side on the same parquet and compares
+row-count + schema + value hashes.
+
+These strings are *oracles*, not the engine: readability over speed.
+"""
+
+from __future__ import annotations
+
+from .data.transcripts import TRANSCRIPTS_CTE_DUCKDB
+from .functions.normalize import normalize_sql_duckdb
+from .operators.blocking import NUM_HASHES, PREFIX_TURNS, ROWS_PER_BAND, SHINGLE_K
+from .operators.pairs import MAX_BLOCK_SIZE
+from .operators.scoring import CONTAIN_NEAR, JACCARD_NEAR, JACCARD_PARTIAL
+
+NORM_TURNS_CTE = f"""
+norm_turns AS (
+  SELECT conv_id, turn_idx, role, {normalize_sql_duckdb('text')} AS norm_text
+  FROM transcripts
+)
+"""
+
+PROFILES_CTE = f"""
+profiles AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         md5(string_agg(role || '#' || norm_text, '|' ORDER BY turn_idx)) AS sig,
+         md5(string_agg(norm_text, '|' ORDER BY turn_idx)
+             FILTER (WHERE turn_idx < {PREFIX_TURNS})) AS prefix_key,
+         string_agg(norm_text, ' ' ORDER BY turn_idx) AS concat_text
+  FROM norm_turns
+  GROUP BY conv_id
+)
+"""
+
+SHINGLES_CTE = f"""
+tok_lists AS (
+  SELECT conv_id, list_filter(string_split(concat_text, ' '), t -> t <> '') AS toks
+  FROM profiles
+),
+shingle_sets AS (
+  SELECT conv_id,
+         list_distinct(
+           CASE WHEN len(toks) <= {SHINGLE_K} THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks) - {SHINGLE_K - 2}),
+                                    i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))
+           END) AS sh
+  FROM tok_lists
+),
+conv_shingles AS (
+  SELECT conv_id, unnest(sh) AS s FROM shingle_sets
+)
+"""
+
+
+def _minhash_cte(num_hashes: int = NUM_HASHES) -> str:
+    cols = ",\n         ".join(
+        f"min(md5('{i:02d}|' || s)) AS mh_{i:02d}" for i in range(num_hashes)
+    )
+    return f"minhash AS (\n  SELECT conv_id,\n         {cols}\n  FROM conv_shingles GROUP BY conv_id\n)"
+
+
+def _bands_cte(num_hashes: int = NUM_HASHES, rows_per_band: int = ROWS_PER_BAND) -> str:
+    n_bands = num_hashes // rows_per_band
+    selects = []
+    for b in range(n_bands):
+        parts = " || '|' || ".join(
+            f"mh_{i:02d}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        selects.append(
+            f"SELECT conv_id, 'mh{b}' AS src, md5('{b}' || '|' || {parts}) AS block_key FROM minhash"
+        )
+    return "bands AS (\n  " + "\n  UNION ALL\n  ".join(selects) + "\n)"
+
+
+BLOCKS_CTE = f"""
+blocks AS (
+  SELECT conv_id, 'sig' AS src, sig AS block_key FROM profiles
+  UNION ALL
+  SELECT conv_id, 'prefix' AS src, prefix_key AS block_key FROM profiles
+  UNION ALL
+  SELECT conv_id, src, block_key FROM bands
+),
+block_n AS (
+  SELECT block_key, count(*) AS n FROM blocks GROUP BY block_key
+),
+kept_blocks AS (
+  SELECT b.conv_id, b.src, b.block_key
+  FROM blocks b JOIN block_n s USING (block_key)
+  WHERE s.n <= {MAX_BLOCK_SIZE}
+),
+cand_pairs AS (
+  SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
+  FROM kept_blocks a JOIN kept_blocks b USING (block_key)
+  WHERE a.conv_id < b.conv_id
+)
+"""
+
+SCORED_CTE = f"""
+scored AS (
+  SELECT c.conv_a, c.conv_b,
+         round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 1.0
+               ELSE len(list_intersect(sa.sh, sb.sh))
+                    / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) END, 6) AS jaccard,
+         round(CASE WHEN least(len(sa.sh), len(sb.sh)) = 0 THEN 1.0
+               ELSE len(list_intersect(sa.sh, sb.sh))
+                    / CAST(least(len(sa.sh), len(sb.sh)) AS DOUBLE) END, 6) AS containment,
+         round(CASE WHEN greatest(length(pa.concat_text[1:96]), length(pb.concat_text[1:96])) = 0 THEN 1.0
+               ELSE 1.0 - levenshtein(pa.concat_text[1:96], pb.concat_text[1:96])
+                    / CAST(greatest(length(pa.concat_text[1:96]), length(pb.concat_text[1:96])) AS DOUBLE) END, 6) AS lev_sim,
+         pa.sig AS sig_a, pb.sig AS sig_b
+  FROM cand_pairs c
+  JOIN profiles pa ON pa.conv_id = c.conv_a
+  JOIN profiles pb ON pb.conv_id = c.conv_b
+  JOIN shingle_sets sa ON sa.conv_id = c.conv_a
+  JOIN shingle_sets sb ON sb.conv_id = c.conv_b
+),
+verdicts AS (
+  SELECT conv_a, conv_b, jaccard, containment, lev_sim,
+         CASE WHEN sig_a = sig_b THEN 'exact'
+              WHEN jaccard >= {JACCARD_NEAR} THEN 'near_dup'
+              WHEN containment >= {CONTAIN_NEAR} THEN 'resumption'
+              WHEN jaccard >= {JACCARD_PARTIAL} THEN 'partial'
+              ELSE 'far' END AS verdict
+  FROM scored
+)
+"""
+
+CLUSTERS_CTE = """
+match_edges AS (
+  SELECT conv_a AS s, conv_b AS d FROM verdicts
+  WHERE verdict IN ('exact', 'near_dup', 'resumption')
+),
+edges_sym AS (
+  SELECT s, d FROM match_edges UNION SELECT d, s FROM match_edges
+),
+reach AS (
+  SELECT s, d FROM edges_sym
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges_sym e ON r.d = e.s WHERE r.s <> e.d
+),
+clusters AS (
+  SELECT p.conv_id,
+         least(p.conv_id, coalesce(min(r.d), p.conv_id)) AS cluster_id
+  FROM profiles p LEFT JOIN reach r ON r.s = p.conv_id
+  GROUP BY p.conv_id
+)
+"""
+
+
+def _assemble(final_select: str, *ctes: str) -> str:
+    body = ",\n".join(c.strip().rstrip(",") for c in ctes if c.strip())
+    return f"WITH RECURSIVE {TRANSCRIPTS_CTE_DUCKDB.strip().rstrip(',')},\n{body}\n{final_select}"
+
+
+def normalize_turns_sql() -> str:
+    return _assemble(
+        "SELECT conv_id, turn_idx, role, norm_text FROM norm_turns",
+        NORM_TURNS_CTE,
+    )
+
+
+def conv_signatures_sql() -> str:
+    return _assemble(
+        "SELECT conv_id, n_turns, sig, prefix_key FROM profiles",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+    )
+
+
+def exact_dup_clusters_sql() -> str:
+    return _assemble(
+        "SELECT conv_id, min(conv_id) OVER (PARTITION BY sig) AS cluster_id FROM profiles",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+    )
+
+
+def minhash_bands_sql() -> str:
+    return _assemble(
+        "SELECT conv_id, src, block_key FROM bands",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        _minhash_cte(),
+        _bands_cte(),
+    )
+
+
+def block_table_sql() -> str:
+    return _assemble(
+        "SELECT conv_id, src, block_key FROM blocks",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        _minhash_cte(),
+        _bands_cte(),
+        BLOCKS_CTE,
+    )
+
+
+def candidate_pairs_sql() -> str:
+    return _assemble(
+        "SELECT conv_a, conv_b FROM cand_pairs",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        _minhash_cte(),
+        _bands_cte(),
+        BLOCKS_CTE,
+    )
+
+
+def scored_pairs_sql() -> str:
+    return _assemble(
+        "SELECT conv_a, conv_b, jaccard, containment, lev_sim, verdict FROM verdicts",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        _minhash_cte(),
+        _bands_cte(),
+        BLOCKS_CTE,
+        SCORED_CTE,
+    )
+
+
+def linkage_clusters_sql() -> str:
+    return _assemble(
+        "SELECT conv_id, cluster_id FROM clusters",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        _minhash_cte(),
+        _bands_cte(),
+        BLOCKS_CTE,
+        SCORED_CTE,
+        CLUSTERS_CTE,
+    )

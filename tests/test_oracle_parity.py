@@ -1,0 +1,55 @@
+"""Driver-style correctness gate: every queries() entry vs its DuckDB oracle.
+
+Replicates what the harness does at sf0.01 — runs the Spark query and the
+ANSI-SQL oracle on the same parquet, sorts columns by name and rows by value,
+and requires exact equality (the driver uses a value hash, so approximate
+equality is not enough).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as spark_entry
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(spark_entry.queries().keys()))
+def test_query_matches_oracle(spark, sf_dir, name):
+    sql = spark_entry.oracle_sql().get(name)
+    if sql is None:
+        pytest.skip(f"{name}: rows-only check (no SQL oracle)")
+    got = _canon(spark_entry.queries()[name](spark, sf_dir).toPandas())
+    con = _duck(sf_dir)
+    want = _canon(con.execute(sql).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_entry_smoke(spark):
+    df = spark_entry.entry(spark)
+    rows = df.limit(5).collect()
+    assert {f.name for f in df.schema.fields} == {"conv_id", "cluster_id"}
+    assert len(rows) > 0

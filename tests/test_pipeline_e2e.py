@@ -1,0 +1,74 @@
+"""End-to-end: the pipeline recovers the injected ground-truth clusters."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from addressparser_spark.data.transcripts import transcripts_df, truth_df
+from addressparser_spark.plans.pipeline import run_linkage
+
+
+@pytest.fixture(scope="module")
+def result(spark, sf_dir):
+    t = transcripts_df(spark, sf_dir)
+    return run_linkage(t)
+
+
+def test_schema_shape(spark, sf_dir):
+    t = transcripts_df(spark, sf_dir)
+    assert [f.name for f in t.schema.fields] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert t.schema["turn_idx"].dataType.simpleString() == "int"
+    assert t.schema["ts"].dataType.simpleString() == "timestamp"
+
+
+def test_clusters_match_ground_truth(spark, sf_dir, result):
+    got = {r["conv_id"]: r["cluster_id"] for r in result.clusters.collect()}
+    want = {r["conv_id"]: r["cluster_id"] for r in truth_df(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_pairwise_f1(spark, sf_dir, result):
+    """Pairwise F1 >= 0.99 vs ground-truth clusters (BASELINE.md target)."""
+    def pair_set(assign: dict[str, str]) -> set[tuple[str, str]]:
+        by_cluster: dict[str, list[str]] = {}
+        for c, k in assign.items():
+            by_cluster.setdefault(k, []).append(c)
+        out = set()
+        for members in by_cluster.values():
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    out.add((ms[i], ms[j]))
+        return out
+
+    got = pair_set({r["conv_id"]: r["cluster_id"] for r in result.clusters.collect()})
+    want = pair_set({r["conv_id"]: r["cluster_id"] for r in truth_df(spark, sf_dir).collect()})
+    tp = len(got & want)
+    precision = tp / len(got) if got else 1.0
+    recall = tp / len(want) if want else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    assert f1 >= 0.99, (precision, recall, f1)
+
+
+def test_verdicts_on_true_pairs(result):
+    """v1/v2 variants score 'exact'; v3 truncations score 'resumption'."""
+    rows = result.scored.filter(
+        F.col("conv_b").rlike("_v[123]$")
+        & (F.col("conv_a") == F.regexp_replace("conv_b", "_v[123]$", ""))
+    ).collect()
+    assert rows, "no true pairs scored"
+    for r in rows:
+        if r["conv_b"].endswith(("_v1", "_v2")):
+            assert r["verdict"] == "exact", r
+        else:
+            assert r["verdict"] in ("resumption", "near_dup"), r
+
+
+def test_repartition_invariance(spark, sf_dir):
+    """Clusters are identical regardless of input partitioning/order."""
+    t = transcripts_df(spark, sf_dir)
+    base = {r["conv_id"]: r["cluster_id"] for r in run_linkage(t, with_jw=False).clusters.collect()}
+    shuffled = t.repartition(13).sortWithinPartitions(F.desc("text"))
+    got = {r["conv_id"]: r["cluster_id"] for r in run_linkage(shuffled, with_jw=False).clusters.collect()}
+    assert got == base
