@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from addressparser_spark import oracle, queries as q
+from addressparser_spark import oracle, oracle_docs, queries as q
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,6 +30,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_candidate_pairs": q.er_candidate_pairs,
         "er_scored_pairs": q.er_scored_pairs,
         "er_linkage_clusters": q.er_linkage_clusters,
+        "dedup_exact": q.dedup_exact,
+        "dedup_minhash_lsh": q.dedup_minhash_lsh,
+        "dedup_simhash": q.dedup_simhash,
+        "dedup_ngram_jaccard": q.dedup_ngram_jaccard,
+        "text_quality": q.text_quality,
+        "text_langid": q.text_langid,
+        "text_token_counts": q.text_token_counts,
+        "text_fingerprints": q.text_fingerprints,
+        "ann_cosine_topk": q.ann_cosine_topk,
+        "ann_lsh_topk": q.ann_lsh_topk,
     }
 
 
@@ -43,4 +53,14 @@ def oracle_sql() -> dict[str, str]:
         "er_candidate_pairs": oracle.candidate_pairs_sql(),
         "er_scored_pairs": oracle.scored_pairs_sql(),
         "er_linkage_clusters": oracle.linkage_clusters_sql(),
+        "dedup_exact": oracle_docs.dedup_exact_sql(),
+        "dedup_minhash_lsh": oracle_docs.dedup_minhash_lsh_sql(),
+        "dedup_simhash": oracle_docs.dedup_simhash_sql(),
+        "dedup_ngram_jaccard": oracle_docs.dedup_ngram_jaccard_sql(),
+        "text_quality": oracle_docs.text_quality_sql(),
+        "text_langid": oracle_docs.text_langid_sql(),
+        "text_token_counts": oracle_docs.token_counts_sql(),
+        "text_fingerprints": oracle_docs.doc_fingerprints_sql(),
+        "ann_cosine_topk": oracle_docs.ann_cosine_topk_sql(),
+        "ann_lsh_topk": oracle_docs.ann_lsh_topk_sql(dim=64),
     }

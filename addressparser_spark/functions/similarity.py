@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+from bisect import bisect_left
+
 import pandas as pd
 
 from pyspark.sql import Column
@@ -46,6 +48,9 @@ def levenshtein_sim_col(a: Column, b: Column, max_len: int = 96) -> Column:
 
 
 def _jaro(s1: str, s2: str) -> float:
+    # classic Jaro with a per-character position index: instead of scanning
+    # the whole match window per char (O(n*window)), scan only positions of
+    # that character — ~10x fewer interpreted iterations on natural text
     if s1 == s2:
         return 1.0
     n1, n2 = len(s1), len(s2)
@@ -54,16 +59,25 @@ def _jaro(s1: str, s2: str) -> float:
     window = max(n1, n2) // 2 - 1
     if window < 0:
         window = 0
+    pos: dict[str, list[int]] = {}
+    for j, c in enumerate(s2):
+        pos.setdefault(c, []).append(j)
     flags1 = [False] * n1
     flags2 = [False] * n2
     m = 0
     for i, c in enumerate(s1):
-        lo, hi = max(0, i - window), min(n2, i + window + 1)
-        for j in range(lo, hi):
-            if not flags2[j] and s2[j] == c:
+        lst = pos.get(c)
+        if not lst:
+            continue
+        lo, hi = i - window, i + window
+        k = bisect_left(lst, lo)
+        while k < len(lst) and lst[k] <= hi:
+            j = lst[k]
+            if not flags2[j]:
                 flags1[i] = flags2[j] = True
                 m += 1
                 break
+            k += 1
     if m == 0:
         return 0.0
     t = 0

@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. The
+  dot product is a Catalyst ``zip_with``+``aggregate`` fold over double-cast
+  arrays (JVM, codegen'd; left-to-right fold order is deterministic and
+  reproducible in the DuckDB oracle's list functions).
+- ``lsh_topk``: the scale path — random-hyperplane (sign) LSH buckets from
+  md5-derived ±1 hyperplanes, candidate generation within buckets, exact
+  re-rank inside. At 10^9 vectors the bucket join replaces the full cross
+  product; the hyperplanes are data-independent and engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOP_K = 5
+N_QUERIES = 10
+LSH_TABLES = 8
+LSH_BITS_PER_TABLE = 4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    d = _norm(a) * _norm(b)
+    return F.when(d == 0, F.lit(0.0)).otherwise(_dot(a, b) / d)
+
+
+def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def cosine_topk(
+    embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): exact top-k for the probe set.
+
+    Probe set = vec_id < n_queries (deterministic). The probe side is tiny and
+    broadcast; the corpus side streams — at 10^9 vectors this is one scan.
+    Ties broken by neighbor_id so ranks are total-order deterministic.
+    """
+    e = _as_double(embeddings).select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    j = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = j.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_col(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_sign(emb: Column, plane: int, dim: int) -> Column:
+    """Sign bit of <v, h_plane> where h_plane[d] = ±1 from md5(plane|d)."""
+    proj = F.aggregate(
+        F.zip_with(
+            emb,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.when(
+                    F.substring(F.md5(F.concat_ws("|", F.lit(str(plane)), d.cast("string"))), 1, 1) >= "8",
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            lambda x, h: x * h,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(proj >= 0, "1").otherwise("0")
+
+
+def lsh_buckets_col(
+    emb: Column,
+    dim: int,
+    n_tables: int = LSH_TABLES,
+    bits_per_table: int = LSH_BITS_PER_TABLE,
+) -> Column:
+    """Array of per-table bucket keys: 't<i>|' + sign bits of that table's planes.
+
+    Multi-table LSH: one selective signature has near-zero recall on weakly
+    correlated vectors; L independent shorter signatures trade candidate count
+    for recall (match in >=1 table). Plane (t, j) uses global index
+    t*bits_per_table + j so tables are independent.
+    """
+    keys = []
+    for t in range(n_tables):
+        bits = F.concat(
+            *[
+                _hyperplane_sign(emb, t * bits_per_table + j, dim)
+                for j in range(bits_per_table)
+            ]
+        )
+        keys.append(F.concat(F.lit(f"t{t}|"), bits))
+    return F.array(*keys)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_tables: int = LSH_TABLES,
+    bits_per_table: int = LSH_BITS_PER_TABLE,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): top-k among multi-table LSH candidates.
+
+    Approximate: recall < 1 vs ``cosine_topk`` by construction; the exploded
+    bucket equi-join is what survives a 10^9-vector corpus (hash-partitioned
+    on the bucket key, candidates deduped across tables, exact re-rank inside).
+    """
+    e = _as_double(embeddings).select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            lsh_buckets_col(F.col("embedding"), dim, n_tables, bits_per_table)
+        ).alias("bucket"),
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket"),
+    )
+    cand = (
+        e.join(F.broadcast(q.select("query_id", "bucket")), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "embedding")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q_emb = q.select("query_id", "q_emb").dropDuplicates(["query_id"])
+    scored = cand.join(F.broadcast(q_emb), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -64,6 +64,7 @@ def conv_profiles(turns_norm: DataFrame) -> DataFrame:
     prefix_parts = F.slice(norm_texts, 1, PREFIX_TURNS)
     concat_text = F.array_join(norm_texts, " ")
     toks = tokens_col(concat_text)
+    shingles = distinct_shingles_col(toks, SHINGLE_K)
     return prof.select(
         "conv_id",
         "n_turns",
@@ -71,7 +72,11 @@ def conv_profiles(turns_norm: DataFrame) -> DataFrame:
         F.md5(F.array_join(prefix_parts, "|")).alias("prefix_key"),
         concat_text.alias("concat_text"),
         toks.alias("tokens"),
-        distinct_shingles_col(toks, SHINGLE_K).alias("shingles"),
+        shingles.alias("shingles"),
+        # 64-bit hashed shingles: the scoring join carries these instead of the
+        # string set — ~8x smaller shuffle payload, integer intersects, and
+        # set-overlap measures (Jaccard/containment) are hash-invariant.
+        F.transform(shingles, lambda s: F.xxhash64(s)).alias("sh_hash"),
         F.transform(F.col("turns"), lambda t: t["role"]).alias("role_seq"),
     )
 

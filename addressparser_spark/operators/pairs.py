@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 MAX_BLOCK_SIZE = 100
 
@@ -41,9 +42,16 @@ def capped_blocks(blocks: DataFrame, max_block_size: int = MAX_BLOCK_SIZE) -> tu
 
 
 def candidate_pairs(
-    blocks: DataFrame, max_block_size: int = MAX_BLOCK_SIZE
+    blocks: DataFrame, max_block_size: int = MAX_BLOCK_SIZE, persist: bool = True
 ) -> DataFrame:
-    """(conv_a, conv_b) with conv_a < conv_b, deduped across key families."""
+    """(conv_a, conv_b) with conv_a < conv_b, deduped across key families.
+
+    ``blocks`` fans out into three consumers (size stats, both join sides), so
+    it is persisted first — on a cluster this is the stage you'd checkpoint;
+    recomputing the MinHash explode three times is never the right plan.
+    """
+    if persist:
+        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
     kept, _ = capped_blocks(blocks, max_block_size)
     a = kept.select(F.col("block_key"), F.col("conv_id").alias("conv_a"))
     b = kept.select(F.col("block_key"), F.col("conv_id").alias("conv_b"))

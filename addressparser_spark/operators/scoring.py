@@ -26,12 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import (
-    containment_col,
-    jaccard_col,
-    jaro_winkler_col,
-    levenshtein_sim_col,
-)
+from ..functions.similarity import jaro_winkler_col, levenshtein_sim_col
 
 JACCARD_NEAR = 0.9
 CONTAIN_NEAR = 0.9
@@ -40,21 +35,62 @@ JACCARD_PARTIAL = 0.5
 MATCH_VERDICTS = ("exact", "near_dup", "resumption")
 
 
+TEXT_CAP = 96  # chars of concat_text carried into the pair join (lev/jw cap)
+
+
 def _side(profiles: DataFrame, suffix: str) -> DataFrame:
+    # project the join payload down to what scoring needs: hashed shingles +
+    # capped text — the pair join shuffles millions of rows, payload width is
+    # the dominant cost at scale
     return profiles.select(
         F.col("conv_id").alias(f"conv_{suffix}"),
         F.col("sig").alias(f"sig_{suffix}"),
-        F.col("shingles").alias(f"sh_{suffix}"),
-        F.col("concat_text").alias(f"text_{suffix}"),
+        F.col("sh_hash").alias(f"sh_{suffix}"),
+        F.substring("concat_text", 1, TEXT_CAP).alias(f"text_{suffix}"),
         F.col("n_turns").alias(f"n_{suffix}"),
     )
 
 
-def score_pairs(pairs: DataFrame, profiles: DataFrame, with_jw: bool = True) -> DataFrame:
-    """(conv_a, conv_b, jaccard, containment, lev_sim[, jw], verdict)."""
-    j = pairs.join(_side(profiles, "a"), "conv_a").join(_side(profiles, "b"), "conv_b")
-    j = j.withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
-    j = j.withColumn("containment", F.round(containment_col(F.col("sh_a"), F.col("sh_b")), 6))
+def score_pairs(
+    pairs: DataFrame,
+    profiles: DataFrame,
+    with_jw: bool = True,
+    broadcast_profiles: bool = False,
+) -> DataFrame:
+    """(conv_a, conv_b, jaccard, containment, lev_sim[, jw], verdict).
+
+    Join strategy is pinned explicitly: Catalyst misestimates the exploded
+    pair side (Generate keeps the pre-explode row count), which can flip the
+    plan into broadcasting *millions of pairs* and streaming the profiles —
+    a parallelism collapse. Default is a shuffle-hash join on conv id (both
+    sides exchange-partitioned, scales with executors); set
+    ``broadcast_profiles=True`` when the profile batch is dimension-sized
+    (incremental runs, benchmarks) to skip shuffling pair rows entirely.
+    """
+    def side(suffix: str) -> DataFrame:
+        s = _side(profiles, suffix)
+        return F.broadcast(s) if broadcast_profiles else s.hint("shuffle_hash")
+
+    j = pairs.join(side("a"), "conv_a").join(side("b"), "conv_b")
+    # one array_intersect pass per pair; Jaccard and containment both derive
+    # from it arithmetically (|A∪B| = |A|+|B|-|A∩B| since the sets are
+    # distinct) — no array_union materialization, 3x less allocation churn
+    j = j.withColumn("inter", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    union = na + nb - F.col("inter")
+    j = j.withColumn(
+        "jaccard",
+        F.round(F.when(union == 0, F.lit(1.0)).otherwise(F.col("inter") / union), 6),
+    )
+    j = j.withColumn(
+        "containment",
+        F.round(
+            F.when(F.least(na, nb) == 0, F.lit(1.0)).otherwise(
+                F.col("inter") / F.least(na, nb)
+            ),
+            6,
+        ),
+    )
     j = j.withColumn("lev_sim", F.round(levenshtein_sim_col(F.col("text_a"), F.col("text_b")), 6))
     if with_jw:
         j = j.withColumn("jw", F.round(jaro_winkler_col(F.col("text_a"), F.col("text_b")), 6))

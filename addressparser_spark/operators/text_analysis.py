@@ -1,0 +1,125 @@
+"""Text-analysis operators over the documents table (training-data pipeline).
+
+All pure Catalyst expressions (regexp_count / length / array ops) — no
+Python in any of these paths. Analog slot: the reference's scalar string
+function family (``RegexPatterns.cs:5-66``, ``Parser.cs:201-299``), re-aimed
+at corpus curation: language ID, quality scoring, token accounting, and
+content fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_col
+from ..functions.tokens import tokens_col
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this",
+]
+RU_STOPWORDS = ["и", "в", "на", "с", "по", "не", "что", "это", "как", "из"]
+
+CYRILLIC_PATTERN = "[а-яё]"
+WORD_PATTERN = "[A-Za-zА-Яа-яЁё]+"
+# BPE-ish segmentation: letter runs, digit runs, single other non-space marks
+BPE_PATTERN = "[A-Za-zА-Яа-яЁё]+|[0-9]+|[^A-Za-zА-Яа-яЁё0-9\\s]"
+FINGERPRINT_NGRAM = 5
+FINGERPRINT_K = 4
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features + composite score in [0,1]."""
+    text = F.col("text")
+    norm = normalize_col(text)
+    toks = tokens_col(norm)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS + RU_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    punct = F.length(F.regexp_replace(text, "[A-Za-zА-Яа-яЁё0-9\\s]", ""))
+    digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    avg_tok = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n_tokens
+    )
+    stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(n_stop / n_tokens)
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(punct / n_chars)
+    digit_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(digits / n_chars)
+    # simple monotone quality ladder: long enough, mostly letters, has stopwords
+    score = (
+        F.least(n_tokens / 50.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(digit_ratio * 4.0, F.lit(1.0))) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def text_langid(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: Cyrillic-character share + stopword votes."""
+    low = F.lower(F.col("text"))
+    cyr = F.regexp_count(low, F.lit(CYRILLIC_PATTERN))
+    wordish = F.regexp_count(low, F.lit("[a-zа-яё]"))
+    cyr_ratio = F.when(wordish == 0, F.lit(0.0)).otherwise(cyr / wordish)
+    toks = tokens_col(normalize_col(F.col("text")))
+    en_hits = F.size(F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in EN_STOPWORDS]), t)))
+    ru_hits = F.size(F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in RU_STOPWORDS]), t)))
+    pred = (
+        F.when(cyr_ratio >= 0.5, "ru")
+        .when((cyr_ratio < 0.5) & (ru_hits > en_hits), "ru")
+        .otherwise("en")
+    )
+    return docs.select(
+        "doc_id",
+        F.round(cyr_ratio, 6).alias("cyrillic_ratio"),
+        en_hits.alias("en_stopword_hits"),
+        ru_hits.alias("ru_stopword_hits"),
+        pred.alias("lang_pred"),
+        "lang",
+        (pred == F.col("lang")).alias("agrees"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens, word tokens, and a BPE-ish subword-unit count."""
+    text = F.col("text")
+    ws = F.size(F.filter(F.split(text, "\\s+"), lambda t: t != ""))
+    words = F.regexp_count(text, F.lit(WORD_PATTERN))
+    bpe = F.regexp_count(text, F.lit(BPE_PATTERN))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        words.alias("word_tokens"),
+        bpe.alias("bpe_units"),
+        F.round(F.when(ws == 0, F.lit(0.0)).otherwise(bpe / ws), 6).alias("bpe_per_ws_token"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, n: int = FINGERPRINT_NGRAM, k: int = FINGERPRINT_K) -> DataFrame:
+    """Bottom-k sketch of char-n-gram md5s: a compact content fingerprint.
+
+    Two docs sharing most of their text share most of their bottom-k set —
+    the winnowing analog with an order-free definition that any engine can
+    reproduce (min-k of md5s, lexicographic).
+    """
+    norm = normalize_col(F.col("text"))
+    ln = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1))),
+        lambda i: F.md5(norm.substr(i, F.lit(n))),
+    )
+    bottom = F.slice(F.array_sort(F.array_distinct(grams)), 1, k)
+    return docs.select(
+        "doc_id",
+        F.array_join(bottom, "|").alias("fingerprint"),
+    )

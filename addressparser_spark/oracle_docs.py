@@ -1,0 +1,337 @@
+"""DuckDB-SQL oracles for the documents/embeddings operator family.
+
+Same contract as ``oracle.py``: exact twins of the Spark operators in
+``operators/dedup.py``, ``operators/text_analysis.py``, ``operators/ann.py``,
+assembled from the same constants.
+"""
+
+from __future__ import annotations
+
+from .functions.normalize import normalize_sql_duckdb
+from .operators.ann import LSH_BITS_PER_TABLE, LSH_TABLES, N_QUERIES, TOP_K
+from .operators.dedup import (
+    CHAR_NGRAM,
+    DOC_JACCARD_DUP,
+    DOC_NUM_HASHES,
+    DOC_ROWS_PER_BAND,
+    DOC_SHINGLE_K,
+    HAMMING_DUP,
+    MAX_BUCKET,
+    SIMHASH_BAND_CHARS,
+    SIMHASH_BITS,
+)
+from .operators.text_analysis import (
+    BPE_PATTERN,
+    CYRILLIC_PATTERN,
+    EN_STOPWORDS,
+    FINGERPRINT_K,
+    FINGERPRINT_NGRAM,
+    RU_STOPWORDS,
+    WORD_PATTERN,
+)
+
+_NORM = normalize_sql_duckdb("text")
+
+NORM_DOCS_CTE = f"""
+norm_docs AS (
+  SELECT doc_id, {_NORM} AS norm_text FROM documents
+)
+"""
+
+_TOKS = "list_filter(string_split(norm_text, ' '), t -> t <> '')"
+
+DOC_SHINGLES_CTE = f"""
+doc_toks AS (
+  SELECT doc_id, norm_text, {_TOKS} AS toks FROM norm_docs
+),
+doc_shingle_sets AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) <= {DOC_SHINGLE_K} THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks) - {DOC_SHINGLE_K - 2}),
+                                    i -> array_to_string(toks[i:i+{DOC_SHINGLE_K - 1}], ' '))
+           END) AS sh
+  FROM doc_toks
+),
+doc_shingles AS (SELECT doc_id, unnest(sh) AS s FROM doc_shingle_sets)
+"""
+
+
+def _doc_minhash_cte() -> str:
+    cols = ",\n         ".join(
+        f"min(md5('{i:02d}|' || s)) AS mh_{i:02d}" for i in range(DOC_NUM_HASHES)
+    )
+    return f"doc_minhash AS (\n  SELECT doc_id,\n         {cols}\n  FROM doc_shingles GROUP BY doc_id\n)"
+
+
+def _doc_bands_cte() -> str:
+    selects = []
+    for b in range(DOC_NUM_HASHES // DOC_ROWS_PER_BAND):
+        parts = " || '|' || ".join(
+            f"mh_{i:02d}"
+            for i in range(b * DOC_ROWS_PER_BAND, (b + 1) * DOC_ROWS_PER_BAND)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5('{b}' || '|' || {parts}) AS bucket FROM doc_minhash"
+        )
+    return "doc_bands AS (\n  " + "\n  UNION ALL\n  ".join(selects) + "\n)"
+
+
+_BUCKET_PAIRS = f"""
+bucket_n AS (SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket),
+kept AS (
+  SELECT b.doc_id, b.bucket FROM buckets b
+  JOIN bucket_n s USING (bucket) WHERE s.n <= {MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM kept a JOIN kept b USING (bucket)
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+
+def _assemble(final_select: str, *ctes: str) -> str:
+    body = ",\n".join(c.strip().rstrip(",") for c in ctes if c.strip())
+    return f"WITH {body}\n{final_select}"
+
+
+def dedup_exact_sql() -> str:
+    return _assemble(
+        """SELECT doc_id, md5(norm_text) AS content_key,
+       min(doc_id) OVER (PARTITION BY md5(norm_text)) AS dup_group,
+       count(*) OVER (PARTITION BY md5(norm_text)) AS group_n
+FROM norm_docs""",
+        NORM_DOCS_CTE,
+    )
+
+
+def dedup_minhash_lsh_sql() -> str:
+    return _assemble(
+        f"""SELECT c.doc_id_a, c.doc_id_b,
+       round(CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) = 0 THEN 1.0
+             ELSE len(list_intersect(sa.sh, sb.sh))
+                  / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) END, 6) AS jaccard,
+       round(CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) = 0 THEN 1.0
+             ELSE len(list_intersect(sa.sh, sb.sh))
+                  / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) END, 6)
+         >= {DOC_JACCARD_DUP} AS is_dup
+FROM cand c
+JOIN doc_shingle_sets sa ON sa.doc_id = c.doc_id_a
+JOIN doc_shingle_sets sb ON sb.doc_id = c.doc_id_b""",
+        NORM_DOCS_CTE,
+        DOC_SHINGLES_CTE,
+        _doc_minhash_cte(),
+        _doc_bands_cte(),
+        "buckets AS (SELECT doc_id, bucket FROM doc_bands)",
+        _BUCKET_PAIRS,
+    )
+
+
+_SIMHASH_CTE = f"""
+tok_rows AS (
+  SELECT doc_id, md5(unnest({_TOKS})) AS h FROM norm_docs
+),
+sim_agg AS (
+  SELECT doc_id,
+         {", ".join(f"sum(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{i:02d}" for i in range(SIMHASH_BITS))}
+  FROM tok_rows GROUP BY doc_id
+),
+simhash AS (
+  SELECT doc_id,
+         {" || ".join(f"(CASE WHEN b{i:02d} > 0 THEN '1' ELSE '0' END)" for i in range(SIMHASH_BITS))} AS simhash
+  FROM sim_agg
+)
+"""
+
+
+def dedup_simhash_sql() -> str:
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_CHARS
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, '{b}|' || substr(simhash, {b * SIMHASH_BAND_CHARS + 1}, {SIMHASH_BAND_CHARS}) AS bucket FROM simhash"
+        for b in range(n_bands)
+    )
+    return _assemble(
+        f"""SELECT c.doc_id_a, c.doc_id_b,
+       len(list_filter(range(1, {SIMHASH_BITS + 1}),
+           i -> substr(a.simhash, CAST(i AS INT), 1) <> substr(b.simhash, CAST(i AS INT), 1))) AS hamming,
+       len(list_filter(range(1, {SIMHASH_BITS + 1}),
+           i -> substr(a.simhash, CAST(i AS INT), 1) <> substr(b.simhash, CAST(i AS INT), 1))) <= {HAMMING_DUP} AS is_dup
+FROM cand c
+JOIN simhash a ON a.doc_id = c.doc_id_a
+JOIN simhash b ON b.doc_id = c.doc_id_b""",
+        NORM_DOCS_CTE,
+        _SIMHASH_CTE,
+        f"buckets AS (\n  {band_selects}\n)",
+        _BUCKET_PAIRS,
+    )
+
+
+def dedup_ngram_jaccard_sql() -> str:
+    g = (
+        f"list_distinct(list_transform(range(1, greatest(length(norm_text) - {CHAR_NGRAM - 1}, 1) + 1), "
+        f"i -> substr(norm_text, CAST(i AS INT), {CHAR_NGRAM})))"
+    )
+    return _assemble(
+        """SELECT c.doc_id_a, c.doc_id_b,
+       round(CASE WHEN len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) = 0 THEN 1.0
+             ELSE len(list_intersect(ga.g, gb.g))
+                  / CAST(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS DOUBLE) END, 6) AS ngram_jaccard
+FROM cand c
+JOIN grams ga ON ga.doc_id = c.doc_id_a
+JOIN grams gb ON gb.doc_id = c.doc_id_b""",
+        NORM_DOCS_CTE,
+        DOC_SHINGLES_CTE,
+        _doc_minhash_cte(),
+        _doc_bands_cte(),
+        "buckets AS (SELECT doc_id, bucket FROM doc_bands)",
+        _BUCKET_PAIRS,
+        f"grams AS (SELECT doc_id, {g} AS g FROM norm_docs)",
+    )
+
+
+def _stoplist_sql(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def text_quality_sql() -> str:
+    stop = _stoplist_sql(EN_STOPWORDS + RU_STOPWORDS)
+    return _assemble(
+        f"""SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       len(t.toks) AS n_tokens,
+       round(CASE WHEN len(t.toks) = 0 THEN 0.0
+             ELSE list_sum(list_transform(t.toks, x -> length(x))) / CAST(len(t.toks) AS DOUBLE) END, 6) AS avg_token_len,
+       round(CASE WHEN len(t.toks) = 0 THEN 0.0
+             ELSE len(list_filter(t.toks, x -> list_contains({stop}, x))) / CAST(len(t.toks) AS DOUBLE) END, 6) AS stopword_ratio,
+       round(CASE WHEN length(d.text) = 0 THEN 0.0
+             ELSE length(regexp_replace(d.text, '[A-Za-zА-Яа-яЁё0-9\\s]', '', 'g')) / CAST(length(d.text) AS DOUBLE) END, 6) AS punct_ratio,
+       round(CASE WHEN length(d.text) = 0 THEN 0.0
+             ELSE length(regexp_replace(d.text, '[^0-9]', '', 'g')) / CAST(length(d.text) AS DOUBLE) END, 6) AS digit_ratio,
+       round(
+         least(len(t.toks) / 50.0, 1.0) * 0.4
+         + least((CASE WHEN len(t.toks) = 0 THEN 0.0
+                  ELSE len(list_filter(t.toks, x -> list_contains({stop}, x))) / CAST(len(t.toks) AS DOUBLE) END) * 5.0, 1.0) * 0.2
+         + (1.0 - least((CASE WHEN length(d.text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(d.text, '[A-Za-zА-Яа-яЁё0-9\\s]', '', 'g')) / CAST(length(d.text) AS DOUBLE) END) * 4.0, 1.0)) * 0.2
+         + (1.0 - least((CASE WHEN length(d.text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(d.text, '[^0-9]', '', 'g')) / CAST(length(d.text) AS DOUBLE) END) * 4.0, 1.0)) * 0.2
+       , 6) AS quality_score
+FROM documents d
+JOIN (SELECT doc_id, {_TOKS} AS toks FROM norm_docs) t USING (doc_id)""",
+        NORM_DOCS_CTE,
+    )
+
+
+def text_langid_sql() -> str:
+    en = _stoplist_sql(EN_STOPWORDS)
+    ru = _stoplist_sql(RU_STOPWORDS)
+    cyr = f"len(regexp_extract_all(lower(d.text), '{CYRILLIC_PATTERN}'))"
+    wordish = "len(regexp_extract_all(lower(d.text), '[a-zа-яё]'))"
+    ratio = f"CASE WHEN {wordish} = 0 THEN 0.0 ELSE {cyr} / CAST({wordish} AS DOUBLE) END"
+    en_hits = f"len(list_filter(t.toks, x -> list_contains({en}, x)))"
+    ru_hits = f"len(list_filter(t.toks, x -> list_contains({ru}, x)))"
+    pred = (
+        f"CASE WHEN {ratio} >= 0.5 THEN 'ru' "
+        f"WHEN {ratio} < 0.5 AND {ru_hits} > {en_hits} THEN 'ru' ELSE 'en' END"
+    )
+    return _assemble(
+        f"""SELECT d.doc_id,
+       round({ratio}, 6) AS cyrillic_ratio,
+       {en_hits} AS en_stopword_hits,
+       {ru_hits} AS ru_stopword_hits,
+       {pred} AS lang_pred,
+       d.lang,
+       ({pred}) = d.lang AS agrees
+FROM documents d
+JOIN (SELECT doc_id, {_TOKS} AS toks FROM norm_docs) t USING (doc_id)""",
+        NORM_DOCS_CTE,
+    )
+
+
+def token_counts_sql() -> str:
+    return f"""SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '{WORD_PATTERN}')) AS word_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_units,
+       round(CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) = 0 THEN 0.0
+             ELSE len(regexp_extract_all(text, '{BPE_PATTERN}'))
+                  / CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS DOUBLE) END, 6) AS bpe_per_ws_token
+FROM documents"""
+
+
+def doc_fingerprints_sql() -> str:
+    return _assemble(
+        f"""SELECT doc_id,
+       array_to_string(
+         (list_sort(list_distinct(
+            list_transform(range(1, greatest(length(norm_text) - {FINGERPRINT_NGRAM - 1}, 1) + 1),
+                           i -> md5(substr(norm_text, CAST(i AS INT), {FINGERPRINT_NGRAM}))))))[1:{FINGERPRINT_K}],
+         '|') AS fingerprint
+FROM norm_docs""",
+        NORM_DOCS_CTE,
+    )
+
+
+_COSINE = """
+round(CASE WHEN sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.emb, e.emb)) = 0 THEN 0.0
+      ELSE list_dot_product(q.q_emb, e.emb)
+           / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.emb, e.emb))) END, 6)
+"""
+
+
+def ann_cosine_topk_sql() -> str:
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COSINE} AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}"""
+
+
+def ann_lsh_topk_sql(dim: int) -> str:
+    n_planes = LSH_TABLES * LSH_BITS_PER_TABLE
+    planes = ", ".join(
+        f"list_transform(range(0, {dim}), d -> CASE WHEN substr(md5('{p}' || '|' || CAST(d AS STRING)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)"
+        for p in range(n_planes)
+    )
+    table_keys = ", ".join(
+        "'t{t}|' || ".format(t=t)
+        + " || ".join(
+            f"(CASE WHEN list_dot_product(emb, planes[{t * LSH_BITS_PER_TABLE + j + 1}]) >= 0 THEN '1' ELSE '0' END)"
+            for j in range(LSH_BITS_PER_TABLE)
+        )
+        for t in range(LSH_TABLES)
+    )
+    return f"""WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, [{planes}] AS planes FROM embeddings
+),
+eb AS (
+  SELECT vec_id, emb, unnest([{table_keys}]) AS bucket FROM e0
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, bucket FROM eb WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, eb.vec_id AS neighbor_id
+  FROM eb JOIN q USING (bucket) WHERE eb.vec_id <> q.query_id
+),
+qe AS (SELECT vec_id AS query_id, emb AS q_emb FROM e0 WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_COSINE} AS cosine
+  FROM cand c
+  JOIN e0 e ON e.vec_id = c.neighbor_id
+  JOIN qe q ON q.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}"""

@@ -60,11 +60,11 @@ def run_linkage(
     turns = turns.observe(obs_turns, F.count(F.lit(1)).alias("rows"))
     metrics.observations["turns"] = obs_turns
 
-    profiles = blocking.conv_profiles(turns)
+    profiles = blocking.conv_profiles(turns).cache()
     blocks = blocking.block_table(profiles, num_hashes, rows_per_band)
     kept, dropped = pairs_op.capped_blocks(blocks, max_block_size)
-    cand = pairs_op.candidate_pairs(blocks, max_block_size)
-    scored = scoring.score_pairs(cand, profiles, with_jw=with_jw)
+    cand = pairs_op.candidate_pairs(blocks, max_block_size).cache()
+    scored = scoring.score_pairs(cand, profiles, with_jw=with_jw).cache()
 
     edges = scoring.matched_edges(scored)
     components = connected_components(edges, checkpoint_dir=checkpoint_dir)

@@ -16,9 +16,10 @@ from .operators.clustering import assign_clusters, connected_components
 
 
 def _profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cached: profiles feed 2+ consumers in every downstream query
     return blocking.conv_profiles(
         blocking.normalize_turns(transcripts_df(spark, sf_dir))
-    )
+    ).cache()
 
 
 def er_normalize_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,3 +62,77 @@ def er_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scoring.score_pairs(cand, p, with_jw=False)
     comp = connected_components(scoring.matched_edges(scored))
     return assign_clusters(p, comp)
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings operator family (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import text_quality as tq
+
+    return tq(_docs(spark, sf_dir))
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import text_langid as tl
+
+    return tl(_docs(spark, sf_dir))
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import doc_fingerprints
+
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import cosine_topk
+
+    return cosine_topk(_embeddings(spark, sf_dir))
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    dim = len(emb.select("embedding").first()["embedding"])
+    return lsh_topk(emb, dim=dim)

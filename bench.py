@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "scaling": {...}}
+
+Two phases:
+
+1. **Headline queries** at ``$SPARK_GRAFT_SF_DIR`` (default
+   ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` — each timed to
+   a no-op sink (full plan execution, no driver collect cost).
+
+2. **Scaling** (the BASELINE.md two-cluster-size criterion, sandbox form):
+   the candidate-pair scoring pipeline over a deterministic synthetic
+   transcripts table, run in *separate subprocesses* at ``local[8]`` and
+   ``local[32]`` on identical input; reports candidate-pairs-scored/sec at
+   both plus efficiency = throughput(4N) / (4 * throughput(N)).
+
+Skip the scaling phase with ``SPARK_GRAFT_BENCH_SCALING=0`` (it adds ~2 min).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "48000"))
+SCALING_CORES = (8, 32)
+
+HEADLINE = [
+    "er_conv_signatures",
+    "er_block_table",
+    "er_scored_pairs",
+    "er_linkage_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_langid",
+]
+
+
+def _sink(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        _sink(fn(spark, SF_DIR))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+PAIR_FANOUT = 100  # each conv scored against its next N neighbors
+
+
+def _scaling_worker(cores: int) -> None:
+    """Time the pairwise-scoring stage (the metric's numerator) in isolation.
+
+    Profiles are materialized (cached + counted) before the clock starts, so
+    the measured region is exactly: pair join + Jaccard/containment +
+    Levenshtein + Arrow-batched Jaro-Winkler + verdict, over a deterministic
+    dense pair set (conv k x conv k+1..k+PAIR_FANOUT).
+    """
+    from addressparser_spark.data.synth import synth_transcripts
+    from addressparser_spark.operators import blocking, scoring
+    from addressparser_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app=f"bench-scaling-{cores}", cores=cores,
+                      shuffle_partitions=max(8, cores * 2))
+    t = synth_transcripts(spark, n_convs=BENCH_CONVS)
+    profiles = blocking.conv_profiles(blocking.normalize_turns(t)).cache()
+    profiles.count()  # materialize outside the timed region
+
+    # warm the pandas-UDF workers (process spawn + pandas import) so the
+    # timed region measures scoring, not interpreter startup
+    from addressparser_spark.functions.similarity import jaro_winkler_udf
+    spark.range(cores * 4, numPartitions=cores * 2).select(
+        jaro_winkler_udf(F.lit("warm"), F.lit("warm")).alias("w")
+    ).agg(F.sum("w")).collect()
+
+    base = profiles.filter(~F.col("conv_id").rlike("_v[123]$"))
+    pairs = base.select(F.col("conv_id").alias("conv_a")).withColumn(
+        "conv_b",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(PAIR_FANOUT)),
+                lambda j: F.concat(
+                    F.lit("conv_"),
+                    F.lpad(
+                        (F.substring("conv_a", 6, 8).cast("bigint") + j).cast("string"),
+                        8, "0",
+                    ),
+                ),
+            )
+        ),
+    ).filter(F.col("conv_b") < F.lit(f"conv_{BENCH_CONVS:08d}"))
+
+    t0 = time.monotonic()
+    scored = scoring.score_pairs(pairs, profiles, with_jw=True, broadcast_profiles=True)
+    # aggregate over every computed column so Catalyst can't prune the scorer
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("jaccard") + F.col("containment") + F.col("lev_sim") + F.col("jw")).alias("s"),
+        F.count_distinct("verdict").alias("v"),
+    ).collect()[0]
+    n_pairs = int(row["n"])
+    elapsed = time.monotonic() - t0
+    print(json.dumps({"cores": cores, "pairs": n_pairs, "sec": round(elapsed, 3)}))
+    spark.stop()
+
+
+def _run_scaling() -> dict:
+    results = {}
+    for cores in SCALING_CORES:
+        # taskset pins the whole process tree (JVM + Python UDF workers) to
+        # `cores` CPUs — local[N] alone bounds only JVM task threads, while
+        # pandas-UDF workers are separate OS processes and would silently use
+        # extra cores, corrupting the N-vs-4N comparison.
+        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        proc = subprocess.run(
+            cmd,
+            capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    n, n4 = SCALING_CORES
+    thr = {c: results[c]["pairs"] / results[c]["sec"] for c in SCALING_CORES}
+    return {
+        "input_convs": BENCH_CONVS,
+        "pairs_scored": results[n4]["pairs"],
+        f"local{n}_sec": results[n]["sec"],
+        f"local{n4}_sec": results[n4]["sec"],
+        f"local{n}_pairs_per_sec": round(thr[n], 1),
+        f"local{n4}_pairs_per_sec": round(thr[n4], 1),
+        "scaling_efficiency": round(thr[n4] / (thr[n] * (n4 / n)), 3),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--scaling-worker":
+        _scaling_worker(int(sys.argv[2]))
+        return
+
+    from addressparser_spark.session import get_spark
+
+    spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=max(16, CPUS))
+    queries = _headline(spark)
+    spark.stop()
+
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        scaling = _run_scaling()
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if scaling is not None:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
