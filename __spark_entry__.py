@@ -12,7 +12,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from addressparser_spark import oracle, oracle_docs, queries as q
+from addressparser_spark import oracle, oracle_docs, oracle_tpch, queries as q
+from addressparser_spark import queries_tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,6 +31,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_candidate_pairs": q.er_candidate_pairs,
         "er_scored_pairs": q.er_scored_pairs,
         "er_linkage_clusters": q.er_linkage_clusters,
+        "er_resolve_entities": q.er_resolve_entities,
+        "er_eval_f1": q.er_eval_f1,
         "dedup_exact": q.dedup_exact,
         "dedup_minhash_lsh": q.dedup_minhash_lsh,
         "dedup_simhash": q.dedup_simhash,
@@ -40,6 +43,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q.text_fingerprints,
         "ann_cosine_topk": q.ann_cosine_topk,
         "ann_lsh_topk": q.ann_lsh_topk,
+        "rel_q1_agg": queries_tpch.rel_q1_agg,
+        "rel_join_rollup": queries_tpch.rel_join_rollup,
+        "rel_nullsafe_join": queries_tpch.rel_nullsafe_join,
+        "rel_argmax_order": queries_tpch.rel_argmax_order,
+        "rel_longest_name": queries_tpch.rel_longest_name,
+        "rel_groups_of_one": queries_tpch.rel_groups_of_one,
+        "rel_union_probe": queries_tpch.rel_union_probe,
+        "rel_anti_join": queries_tpch.rel_anti_join,
+        "rel_semi_join": queries_tpch.rel_semi_join,
+        "rel_string_agg": queries_tpch.rel_string_agg,
+        "rel_hierarchy_walk": queries_tpch.rel_hierarchy_walk,
+        "rel_sessionize": queries_tpch.rel_sessionize,
+        "rel_pivot": queries_tpch.rel_pivot,
+        "rel_rollup": queries_tpch.rel_rollup,
     }
 
 
@@ -53,6 +70,8 @@ def oracle_sql() -> dict[str, str]:
         "er_candidate_pairs": oracle.candidate_pairs_sql(),
         "er_scored_pairs": oracle.scored_pairs_sql(),
         "er_linkage_clusters": oracle.linkage_clusters_sql(),
+        "er_resolve_entities": oracle.resolve_entities_sql(),
+        "er_eval_f1": oracle.eval_f1_sql(),
         "dedup_exact": oracle_docs.dedup_exact_sql(),
         "dedup_minhash_lsh": oracle_docs.dedup_minhash_lsh_sql(),
         "dedup_simhash": oracle_docs.dedup_simhash_sql(),
@@ -63,4 +82,5 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": oracle_docs.doc_fingerprints_sql(),
         "ann_cosine_topk": oracle_docs.ann_cosine_topk_sql(),
         "ann_lsh_topk": oracle_docs.ann_lsh_topk_sql(dim=64),
+        **oracle_tpch.ALL,
     }

@@ -112,6 +112,7 @@ scored AS (
          round(CASE WHEN greatest(length(pa.concat_text[1:96]), length(pb.concat_text[1:96])) = 0 THEN 1.0
                ELSE 1.0 - levenshtein(pa.concat_text[1:96], pb.concat_text[1:96])
                     / CAST(greatest(length(pa.concat_text[1:96]), length(pb.concat_text[1:96])) AS DOUBLE) END, 6) AS lev_sim,
+         round(jaro_winkler_similarity(pa.concat_text[1:96], pb.concat_text[1:96]), 6) AS jw,
          pa.sig AS sig_a, pb.sig AS sig_b
   FROM cand_pairs c
   JOIN profiles pa ON pa.conv_id = c.conv_a
@@ -120,7 +121,7 @@ scored AS (
   JOIN shingle_sets sb ON sb.conv_id = c.conv_b
 ),
 verdicts AS (
-  SELECT conv_a, conv_b, jaccard, containment, lev_sim,
+  SELECT conv_a, conv_b, jaccard, containment, lev_sim, jw,
          CASE WHEN sig_a = sig_b THEN 'exact'
               WHEN jaccard >= {JACCARD_NEAR} THEN 'near_dup'
               WHEN containment >= {CONTAIN_NEAR} THEN 'resumption'
@@ -217,7 +218,7 @@ def candidate_pairs_sql() -> str:
 
 def scored_pairs_sql() -> str:
     return _assemble(
-        "SELECT conv_a, conv_b, jaccard, containment, lev_sim, verdict FROM verdicts",
+        "SELECT conv_a, conv_b, jaccard, containment, lev_sim, jw, verdict FROM verdicts",
         NORM_TURNS_CTE,
         PROFILES_CTE,
         SHINGLES_CTE,
@@ -239,4 +240,64 @@ def linkage_clusters_sql() -> str:
         BLOCKS_CTE,
         SCORED_CTE,
         CLUSTERS_CTE,
+    )
+
+
+def resolve_entities_sql() -> str:
+    return _assemble(
+        """SELECT c.conv_id, c.cluster_id, md5('entity|' || p.sig) AS entity_id
+FROM clusters c JOIN profiles p ON p.conv_id = c.cluster_id""",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        _minhash_cte(),
+        _bands_cte(),
+        BLOCKS_CTE,
+        SCORED_CTE,
+        CLUSTERS_CTE,
+    )
+
+
+EVAL_CTE = """
+labels AS (
+  SELECT conv_a, conv_b,
+         regexp_replace(conv_a, '_v[123]$', '') = regexp_replace(conv_b, '_v[123]$', '') AS is_match
+  FROM cand_pairs
+),
+joined AS (
+  SELECT l.is_match, ca.cluster_id = cb.cluster_id AS pred_match
+  FROM labels l
+  JOIN clusters ca ON ca.conv_id = l.conv_a
+  JOIN clusters cb ON cb.conv_id = l.conv_b
+),
+counts AS (
+  SELECT CAST(sum(CASE WHEN is_match AND pred_match THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT is_match AND pred_match THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN is_match AND NOT pred_match THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM joined
+)
+"""
+
+
+def eval_f1_sql() -> str:
+    return _assemble(
+        """SELECT tp, fp, fn,
+       round(CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+       round(CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / CAST(tp + fp AS DOUBLE) END)
+                     + (CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp / CAST(tp + fn AS DOUBLE) END) = 0 THEN 0.0
+             ELSE 2 * (CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / CAST(tp + fp AS DOUBLE) END)
+                    * (CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp / CAST(tp + fn AS DOUBLE) END)
+                    / ((CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / CAST(tp + fp AS DOUBLE) END)
+                       + (CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp / CAST(tp + fn AS DOUBLE) END)) END, 6) AS f1
+FROM counts""",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        _minhash_cte(),
+        _bands_cte(),
+        BLOCKS_CTE,
+        SCORED_CTE,
+        CLUSTERS_CTE,
+        EVAL_CTE,
     )

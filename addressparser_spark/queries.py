@@ -53,7 +53,7 @@ def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _profiles(spark, sf_dir)
     cand = pairs_op.candidate_pairs(blocking.block_table(p))
-    return scoring.score_pairs(cand, p, with_jw=False)
+    return scoring.score_pairs(cand, p, with_jw=True)
 
 
 def er_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,3 +136,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     dim = len(emb.select("embedding").first()["embedding"])
     return lsh_topk(emb, dim=dim)
+
+
+# ---------------------------------------------------------------------------
+# resolve + evaluation
+# ---------------------------------------------------------------------------
+
+def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resolve import resolve_entities
+
+    p = _profiles(spark, sf_dir)
+    cand = pairs_op.candidate_pairs(blocking.block_table(p))
+    scored = scoring.score_pairs(cand, p, with_jw=False)
+    comp = connected_components(scoring.matched_edges(scored))
+    clusters = assign_clusters(p, comp)
+    return resolve_entities(clusters, p, registry=None)
+
+
+def er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .data.transcripts import truth_df
+    from .plans.evaluate import labeled_pairs, pairwise_f1
+
+    p = _profiles(spark, sf_dir)
+    cand = pairs_op.candidate_pairs(blocking.block_table(p))
+    scored = scoring.score_pairs(cand, p, with_jw=False)
+    comp = connected_components(scoring.matched_edges(scored))
+    clusters = assign_clusters(p, comp)
+    labels = labeled_pairs(cand, truth_df(spark, sf_dir))
+    return pairwise_f1(clusters, labels)

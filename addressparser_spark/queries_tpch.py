@@ -1,0 +1,202 @@
+"""Relational operator coverage over the TPC-H-ish tables.
+
+One query per operator family from SURVEY.md §2 (joins J*, aggregations A*,
+ranking cascades R*, set ops U*, scalar functions F*, hierarchy walks G1,
+plus the window/sessionization family the transcript engine adds). Each has
+an exact DuckDB oracle in ``oracle_tpch.py``.
+
+Plan hygiene: dimension joins are explicitly broadcast; aggregates on doubles
+are rounded so cross-engine float summation order can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def rel_q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-agg groupBy (A-family; map-side partial aggs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def rel_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 analog: fact joined through two broadcast dims, rolled up."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def rel_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SJ1 analog: null-safe key equality (<=>), as in the 6-key identity lookup."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "seg_key", F.nullif("c_mktsegment", F.lit("BUILDING"))
+    )
+    a = cust.select(F.col("c_custkey").alias("k_a"), "seg_key", F.col("c_nationkey").alias("nk"))
+    b = cust.select(F.col("c_custkey").alias("k_b"), F.col("seg_key").alias("seg_key_b"), F.col("c_nationkey").alias("nk_b"))
+    j = a.join(
+        b,
+        a.seg_key.eqNullSafe(b.seg_key_b) & (a.nk == b.nk_b) & (a.k_a < b.k_b),
+    )
+    return j.groupBy("seg_key").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def rel_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 cascade analog: deterministic top-1 per group via total-order window."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("best_price"))
+    )
+
+
+def rel_longest_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 analog: longest-name-per-group dedup (max length, then min name)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc(F.length("p_name")), F.asc("p_name")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_name").alias("longest_name"), F.length("p_name").alias("name_len"))
+    )
+
+
+def rel_groups_of_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 analog: keep groups of size exactly 1."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("c_custkey").alias("only_custkey"))
+        .filter(F.col("n") == 1)
+        .select("c_nationkey", "c_mktsegment", "only_custkey")
+    )
+
+
+def rel_union_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 analog: multi-source union probe, deduped."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src")
+    )
+    return cust.unionByName(supp).groupBy("nationkey", "src").agg(
+        F.count(F.lit(1)).alias("n"), F.min("name").alias("first_name")
+    )
+
+
+def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 analog: Except/left-anti — customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: customers with at least one urgent order."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def rel_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 analog: ordered string aggregation for display."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ", ").alias("nations")
+    )
+
+
+def rel_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 analog: bounded-level hierarchy assembly (region->nation->customer)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.select(
+        "c_custkey",
+        F.concat_ws(" > ", "r_name", "n_name", "c_name").alias("path"),
+        F.lit(3).alias("depth"),
+    )
+
+
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user over the events stream table."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("sess_idx", F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return (
+        sess.groupBy("user_id", "sess_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority x status."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over lineitem flags."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
