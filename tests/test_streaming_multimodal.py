@@ -1,0 +1,112 @@
+"""Streaming incremental linkage + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from addressparser_spark.data.transcripts import transcripts_df
+from addressparser_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    media_from_documents,
+)
+from addressparser_spark.streaming.incremental import (
+    incremental_linkage,
+    turn_rate_stream,
+)
+
+
+def test_incremental_linkage_two_batches(spark, sf_dir, tmp_path):
+    """Feed the same conversations in two files; registry stays deduped and
+    entity ids are stable across batches (content-derived, idempotent)."""
+    t = transcripts_df(spark, sf_dir)
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    reg_dir, ck_dir = str(tmp_path / "reg"), str(tmp_path / "ck")
+
+    first = t.filter(F.col("conv_id") < "conv_000050")
+    second = t  # superset: re-delivers batch 1 convs plus the rest
+    first.coalesce(1).write.parquet(f"{in_dir}/b1")
+    second.coalesce(1).write.parquet(f"{in_dir}/b2")
+    # flatten: streaming source wants files in one dir
+    import glob
+    import shutil
+
+    files = glob.glob(f"{in_dir}/b*/part-*.parquet")
+    for i, f in enumerate(sorted(files)):
+        shutil.copy(f, f"{in_dir}/batch_{i}.parquet")
+    shutil.rmtree(f"{in_dir}/b1")
+    shutil.rmtree(f"{in_dir}/b2")
+
+    q = incremental_linkage(spark, in_dir, out_dir, reg_dir, ck_dir)
+    q.awaitTermination(120)
+
+    resolved = spark.read.parquet(out_dir)
+    registry = spark.read.parquet(reg_dir)
+    # registry sigs unique (idempotent merge across overlapping batches)
+    assert registry.count() == registry.select("sig").distinct().count()
+    # same conv resolved in both epochs -> same entity id
+    dup = (
+        resolved.groupBy("conv_id")
+        .agg(F.count_distinct("entity_id").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dup == 0
+    assert resolved.select("epoch").distinct().count() == 2
+
+
+def test_turn_rate_stream(spark, sf_dir, tmp_path):
+    t = transcripts_df(spark, sf_dir)
+    in_dir = str(tmp_path / "stream_in")
+    t.coalesce(1).write.parquet(in_dir)
+    agg = turn_rate_stream(spark, in_dir)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("turn_rates")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    # append mode emits only watermark-closed windows; with availableNow the
+    # final watermark closes all but the trailing window
+    rows = spark.sql("SELECT * FROM turn_rates").collect()
+    assert q.exception() is None
+    roles = {r["role"] for r in rows}
+    assert roles <= {"user", "assistant", "tool"}
+
+
+def test_media_decode_plumbing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents(docs)
+    feats = decode_media(media).cache()
+    n = feats.count()
+    assert n == docs.count()
+    img = feats.filter(F.col("kind") == "image").first()
+    assert img["width"] >= 64 and img["height"] >= 64 and img["duration_ms"] == 0
+    aud = feats.filter(F.col("kind") == "audio").first()
+    assert aud["width"] == 0 and aud["duration_ms"] >= 1000
+    # determinism: rerun yields identical feature hashes
+    again = decode_media(media)
+    assert (
+        feats.select("media_id", "feature_hash")
+        .exceptAll(again.select("media_id", "feature_hash"))
+        .count()
+        == 0
+    )
+
+
+def test_media_decode_stub_raises(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3)
+    media = media_from_documents(docs)
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        decode_media(media, deterministic_fake=False).collect()
+
+
+def test_frame_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents(docs)
+    frames = frame_sample(media, every_ms=10000)
+    row = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).first()
+    assert row["n"] >= 1
