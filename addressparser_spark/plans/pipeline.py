@@ -17,8 +17,46 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from ..operators import blocking, pairs as pairs_op, scoring
 from ..operators.clustering import assign_clusters, connected_components
+
+
+def exact_edges(profiles: DataFrame) -> DataFrame:
+    """Light stage: same-signature star edges straight from profiles.
+
+    Mirrors the reference's light mode (exact-key lookup before the expensive
+    full-text search, ``Db/DataContextBase_AddrObject.cs:52-95``): exact
+    duplicates are linked by one window over ``sig`` — no pair generation,
+    no scoring. Edges point members at the per-sig min conv_id, which yields
+    the same connected components as scoring every same-sig pair.
+    """
+    w = Window.partitionBy("sig")
+    reps = profiles.select(
+        "conv_id", F.min("conv_id").over(w).alias("rep")
+    )
+    return reps.filter(F.col("conv_id") != F.col("rep")).select(
+        F.col("conv_id").alias("src"), F.col("rep").alias("dst")
+    )
+
+
+def heavy_pairs(profiles: DataFrame, num_hashes: int, rows_per_band: int,
+                max_block_size: int) -> DataFrame:
+    """Heavy stage candidates: prefix + MinHash keys only, same-sig pairs
+    dropped (the light stage already linked them)."""
+    blocks = blocking.block_table(profiles, num_hashes, rows_per_band).filter(
+        F.col("src") != "sig"
+    )
+    cand = pairs_op.candidate_pairs(blocks, max_block_size)
+    sigs_a = profiles.select(F.col("conv_id").alias("conv_a"), F.col("sig").alias("_sig_a"))
+    sigs_b = profiles.select(F.col("conv_id").alias("conv_b"), F.col("sig").alias("_sig_b"))
+    return (
+        cand.join(sigs_a, "conv_a")
+        .join(sigs_b, "conv_b")
+        .filter(F.col("_sig_a") != F.col("_sig_b"))
+        .select("conv_a", "conv_b")
+    )
 
 
 @dataclass
@@ -52,7 +90,15 @@ def run_linkage(
     rows_per_band: int = blocking.ROWS_PER_BAND,
     max_block_size: int = pairs_op.MAX_BLOCK_SIZE,
     with_jw: bool = True,
+    escalate: bool = True,
 ) -> LinkageResult:
+    """Full pipeline. ``escalate=True`` runs the light->heavy funnel: exact
+    duplicates resolve from one window (no scoring), and only non-identical
+    candidates reach the similarity cascade — the reference's two-phase
+    search re-expressed set-based. Cluster output is identical either way
+    (same-sig pairs would score 'exact' anyway); the funnel just removes
+    them from the quadratic stage.
+    """
     metrics = PipelineMetrics()
 
     turns = blocking.normalize_turns(transcripts)
@@ -63,10 +109,15 @@ def run_linkage(
     profiles = blocking.conv_profiles(turns).cache()
     blocks = blocking.block_table(profiles, num_hashes, rows_per_band)
     kept, dropped = pairs_op.capped_blocks(blocks, max_block_size)
-    cand = pairs_op.candidate_pairs(blocks, max_block_size).cache()
-    scored = scoring.score_pairs(cand, profiles, with_jw=with_jw).cache()
+    if escalate:
+        cand = heavy_pairs(profiles, num_hashes, rows_per_band, max_block_size).cache()
+        scored = scoring.score_pairs(cand, profiles, with_jw=with_jw).cache()
+        edges = exact_edges(profiles).unionByName(scoring.matched_edges(scored))
+    else:
+        cand = pairs_op.candidate_pairs(blocks, max_block_size).cache()
+        scored = scoring.score_pairs(cand, profiles, with_jw=with_jw).cache()
+        edges = scoring.matched_edges(scored)
 
-    edges = scoring.matched_edges(scored)
     components = connected_components(edges, checkpoint_dir=checkpoint_dir)
     clusters = assign_clusters(profiles, components)
 

