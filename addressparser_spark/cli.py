@@ -62,6 +62,10 @@ def _cmd_link(args: argparse.Namespace) -> None:
     store.write("dropped_blocks", result.dropped_blocks)
     metrics = result.metrics.resolve()
     metrics["n_clusters"] = result.clusters.select("cluster_id").distinct().count()
+    from addressparser_spark.plans.pipeline import partition_histogram
+
+    metrics["profile_partitions"] = partition_histogram(result.profiles)
+    metrics["dropped_blocks"] = result.dropped_blocks.count()
     with open(os.path.join(args.output, "metrics.json"), "w") as f:
         json.dump(metrics, f)
     print(json.dumps(metrics))

@@ -72,6 +72,21 @@ class PipelineMetrics:
         return dict(self.counts)
 
 
+def partition_histogram(df: DataFrame) -> list[dict[str, int]]:
+    """Per-partition row counts — the lineage signal for skew diagnosis.
+
+    One extra job over the (usually cached) frame; rows-per-partition spread
+    is what tells an operator whether salting/AQE actually balanced a stage.
+    """
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy("pid")
+        .collect()
+    )
+    return [{"partition": int(r["pid"]), "rows": int(r["rows"])} for r in rows]
+
+
 @dataclass
 class LinkageResult:
     profiles: DataFrame
@@ -110,12 +125,25 @@ def run_linkage(
     blocks = blocking.block_table(profiles, num_hashes, rows_per_band)
     kept, dropped = pairs_op.capped_blocks(blocks, max_block_size)
     if escalate:
-        cand = heavy_pairs(profiles, num_hashes, rows_per_band, max_block_size).cache()
-        scored = scoring.score_pairs(cand, profiles, with_jw=with_jw).cache()
+        cand = heavy_pairs(profiles, num_hashes, rows_per_band, max_block_size)
+    else:
+        cand = pairs_op.candidate_pairs(blocks, max_block_size)
+    obs_pairs = Observation("pairs")
+    cand = cand.observe(obs_pairs, F.count(F.lit(1)).alias("candidates")).cache()
+    metrics.observations["pairs"] = obs_pairs
+
+    scored = scoring.score_pairs(cand, profiles, with_jw=with_jw)
+    obs_scored = Observation("scored")
+    scored = scored.observe(
+        obs_scored,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("verdict").isin(*scoring.MATCH_VERDICTS), 1).otherwise(0)).alias("matches"),
+    ).cache()
+    metrics.observations["scored"] = obs_scored
+
+    if escalate:
         edges = exact_edges(profiles).unionByName(scoring.matched_edges(scored))
     else:
-        cand = pairs_op.candidate_pairs(blocks, max_block_size).cache()
-        scored = scoring.score_pairs(cand, profiles, with_jw=with_jw).cache()
         edges = scoring.matched_edges(scored)
 
     components = connected_components(edges, checkpoint_dir=checkpoint_dir)
