@@ -53,14 +53,21 @@ def conv_profiles(turns_norm: DataFrame) -> DataFrame:
     ``struct(turn_idx, ...)`` gives a total order independent of partitioning.
     """
     turns = F.array_sort(
-        F.collect_list(F.struct("turn_idx", "role", "norm_text"))
+        F.collect_list(
+            F.struct("turn_idx", "role", F.coalesce("tool", F.lit("")).alias("tool"), "norm_text")
+        )
     )
     prof = turns_norm.groupBy("conv_id").agg(
         turns.alias("turns"),
         F.count(F.lit(1)).alias("n_turns"),
     )
     norm_texts = F.transform(F.col("turns"), lambda t: t["norm_text"])
-    sig_parts = F.transform(F.col("turns"), lambda t: F.concat(t["role"], F.lit("#"), t["norm_text"]))
+    # composite signature: role + tool + normalized text per turn (the
+    # north-star composite key: role x tool x content)
+    sig_parts = F.transform(
+        F.col("turns"),
+        lambda t: F.concat(t["role"], F.lit("#"), t["tool"], F.lit("#"), t["norm_text"]),
+    )
     prefix_parts = F.slice(norm_texts, 1, PREFIX_TURNS)
     concat_text = F.array_join(norm_texts, " ")
     toks = tokens_col(concat_text)

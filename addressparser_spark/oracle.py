@@ -19,7 +19,8 @@ from .operators.scoring import CONTAIN_NEAR, JACCARD_NEAR, JACCARD_PARTIAL
 
 NORM_TURNS_CTE = f"""
 norm_turns AS (
-  SELECT conv_id, turn_idx, role, {normalize_sql_duckdb('text')} AS norm_text
+  SELECT conv_id, turn_idx, role, coalesce(tool, '') AS tool,
+         {normalize_sql_duckdb('text')} AS norm_text
   FROM transcripts
 )
 """
@@ -28,7 +29,7 @@ PROFILES_CTE = f"""
 profiles AS (
   SELECT conv_id,
          CAST(count(*) AS BIGINT) AS n_turns,
-         md5(string_agg(role || '#' || norm_text, '|' ORDER BY turn_idx)) AS sig,
+         md5(string_agg(role || '#' || tool || '#' || norm_text, '|' ORDER BY turn_idx)) AS sig,
          md5(string_agg(norm_text, '|' ORDER BY turn_idx)
              FILTER (WHERE turn_idx < {PREFIX_TURNS})) AS prefix_key,
          string_agg(norm_text, ' ' ORDER BY turn_idx) AS concat_text
@@ -300,4 +301,19 @@ FROM counts""",
         SCORED_CTE,
         CLUSTERS_CTE,
         EVAL_CTE,
+    )
+
+
+def parse_udtf_roundtrip_sql() -> str:
+    return _assemble(
+        r"""SELECT conv_id,
+       CAST(generate_subscripts(string_split(raw, ' || '), 1) - 1 AS INT) AS turn_idx,
+       regexp_extract(unnest(string_split(raw, ' || ')), '^([a-z]+): ', 1) AS role,
+       regexp_extract(unnest(string_split(raw, ' || ')), '(?s)^[a-z]+: (.*)$', 1) AS text
+FROM raw_convs""",
+        """raw_convs AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || text, ' || ' ORDER BY turn_idx) AS raw
+  FROM transcripts GROUP BY conv_id
+)""",
     )

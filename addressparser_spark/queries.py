@@ -169,3 +169,11 @@ def er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = pairs_op.candidate_pairs(blocking.block_table(p))
     labels = labeled_pairs(cand, truth_df(spark, sf_dir))
     return pairwise_f1(clusters, labels)
+
+
+def er_parse_udtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TVF surface (S1 analog): serialize conversations, re-parse via UDTF."""
+    from .operators.parse_udtf import parse_transcripts, serialize_convs
+
+    t = transcripts_df(spark, sf_dir)
+    return parse_transcripts(spark, serialize_convs(t))
