@@ -26,13 +26,23 @@ def shingles_col(tokens: Column, k: int = 3) -> Column:
     Fewer than ``k`` tokens -> one shingle of the whole array, so short
     conversations still get a key (reference keeps 1-word parts unless
     subsumed, ``Parser.cs:524-531``).
+
+    Implementation: zip_with over j-shifted copies of the array, NOT a
+    transform whose lambda slices ``tokens`` — a lambda body referencing an
+    outer expression re-evaluates it per element (no hoisting in Catalyst),
+    which turns shingling O(n^2) whenever projection collapsing inlines the
+    tokenizer into the lambda. zip_with inputs are evaluated once; the lambda
+    only touches its own arguments. zip_with pads the shorter side with
+    nulls and concat null-propagates, so trailing partial windows drop out
+    in the filter.
     """
     n = F.size(tokens)
     full = F.array(F.array_join(tokens, " "))
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
-    )
+    grams = tokens
+    for j in range(1, k):
+        shifted = F.slice(tokens, j + 1, n)
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    grams = F.filter(grams, lambda g: g.isNotNull())
     return F.when(n <= k, full).otherwise(grams)
 
 

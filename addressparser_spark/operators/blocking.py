@@ -69,22 +69,28 @@ def conv_profiles(turns_norm: DataFrame) -> DataFrame:
         lambda t: F.concat(t["role"], F.lit("#"), t["tool"], F.lit("#"), t["norm_text"]),
     )
     prefix_parts = F.slice(norm_texts, 1, PREFIX_TURNS)
-    concat_text = F.array_join(norm_texts, " ")
-    toks = tokens_col(concat_text)
-    shingles = distinct_shingles_col(toks, SHINGLE_K)
-    return prof.select(
+    # IMPORTANT evaluation-cost note: a lambda inside transform/filter that
+    # references an *outer expression* re-evaluates that expression per array
+    # element (Catalyst does not hoist it). Every intermediate below is
+    # therefore materialized as a column attribute before a lambda uses it —
+    # otherwise shingling becomes O(n_tokens^2) per conversation.
+    prof = prof.select(
         "conv_id",
         "n_turns",
         F.md5(F.array_join(sig_parts, "|")).alias("sig"),
         F.md5(F.array_join(prefix_parts, "|")).alias("prefix_key"),
-        concat_text.alias("concat_text"),
-        toks.alias("tokens"),
-        shingles.alias("shingles"),
-        # 64-bit hashed shingles: the scoring join carries these instead of the
-        # string set — ~8x smaller shuffle payload, integer intersects, and
-        # set-overlap measures (Jaccard/containment) are hash-invariant.
-        F.transform(shingles, lambda s: F.xxhash64(s)).alias("sh_hash"),
+        F.array_join(norm_texts, " ").alias("concat_text"),
         F.transform(F.col("turns"), lambda t: t["role"]).alias("role_seq"),
+    )
+    prof = prof.withColumn("tokens", tokens_col(F.col("concat_text")))
+    prof = prof.withColumn("shingles", distinct_shingles_col(F.col("tokens"), SHINGLE_K))
+    # 64-bit hashed shingles: the scoring join carries these instead of the
+    # string set — ~8x smaller shuffle payload, integer intersects, and
+    # set-overlap measures (Jaccard/containment) are hash-invariant.
+    prof = prof.withColumn("sh_hash", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
+    return prof.select(
+        "conv_id", "n_turns", "sig", "prefix_key", "concat_text",
+        "tokens", "shingles", "sh_hash", "role_seq",
     )
 
 

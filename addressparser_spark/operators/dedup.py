@@ -42,12 +42,13 @@ def normalized_docs(docs: DataFrame) -> DataFrame:
 
 
 def doc_shingle_sets(docs: DataFrame, k: int = DOC_SHINGLE_K) -> DataFrame:
-    n = normalized_docs(docs)
-    toks = tokens_col(F.col("norm_text"))
+    # tokens materialized as a column before the shingle lambda references it
+    # (outer expressions inside higher-order lambdas re-evaluate per element)
+    n = normalized_docs(docs).withColumn("toks", tokens_col(F.col("norm_text")))
     return n.select(
         "doc_id",
         "norm_text",
-        distinct_shingles_col(toks, k).alias("sh"),
+        distinct_shingles_col(F.col("toks"), k).alias("sh"),
     )
 
 
@@ -118,6 +119,11 @@ def doc_band_keys(
 
 def _bucket_pairs(buckets: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     """In-bucket pairs with the block-size guardrail (cap + never silent)."""
+    from pyspark.storagelevel import StorageLevel
+
+    # buckets fan out into 3 consumers (sizes + both self-join sides):
+    # persist instead of recomputing the sketch pipeline three times
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
     kept = buckets.join(sizes.filter(F.col("n") <= max_bucket), "bucket", "left_semi")
     a = kept.select("bucket", F.col("doc_id").alias("doc_id_a"))
@@ -239,9 +245,10 @@ def char_ngrams_col(text, n: int = CHAR_NGRAM):
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = CHAR_NGRAM) -> DataFrame:
     """(doc_id_a, doc_id_b, ngram_jaccard): char-n-gram sets on LSH candidates."""
-    nd = normalized_docs(docs).select(
-        "doc_id",
-        F.transform(char_ngrams_col(F.col("norm_text"), n), lambda g: F.xxhash64(g)).alias("g"),
+    nd = (
+        normalized_docs(docs)
+        .withColumn("g0", char_ngrams_col(F.col("norm_text"), n))
+        .select("doc_id", F.transform(F.col("g0"), lambda g: F.xxhash64(g)).alias("g"))
     )
     cand = _bucket_pairs(doc_band_keys(doc_minhash(docs)))
     j = (

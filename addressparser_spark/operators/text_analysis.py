@@ -112,14 +112,16 @@ def doc_fingerprints(docs: DataFrame, n: int = FINGERPRINT_NGRAM, k: int = FINGE
     the winnowing analog with an order-free definition that any engine can
     reproduce (min-k of md5s, lexicographic).
     """
-    norm = normalize_col(F.col("text"))
+    # normalize once into a column: the gram lambda references it per element
+    d = docs.select("doc_id", normalize_col(F.col("text")).alias("norm_text"))
+    norm = F.col("norm_text")
     ln = F.length(norm)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1))),
         lambda i: F.md5(norm.substr(i, F.lit(n))),
     )
     bottom = F.slice(F.array_sort(F.array_distinct(grams)), 1, k)
-    return docs.select(
+    return d.select(
         "doc_id",
         F.array_join(bottom, "|").alias("fingerprint"),
     )

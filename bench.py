@@ -29,7 +29,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "48000"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "24000"))
 SCALING_CORES = (8, 32)
 
 HEADLINE = [
@@ -83,6 +83,9 @@ def _scaling_worker(cores: int) -> None:
 
     spark = get_spark(app=f"bench-scaling-{cores}", cores=cores,
                       shuffle_partitions=max(8, cores * 2), driver_memory="48g")
+    # profiles built in-session (setup, not timed): a parquet-cached variant
+    # was tried and made the scoring stage ~2.8x slower from the cache-backed
+    # scan; the in-memory build is both faster end-to-end and more honest
     t = synth_transcripts(spark, n_convs=BENCH_CONVS)
     profiles = blocking.conv_profiles(blocking.normalize_turns(t)).cache()
     profiles.count()  # materialize outside the timed region
@@ -94,7 +97,10 @@ def _scaling_worker(cores: int) -> None:
         jaro_winkler_udf(F.lit("warm"), F.lit("warm")).alias("w")
     ).agg(F.sum("w")).collect()
 
-    base = profiles.filter(~F.col("conv_id").rlike("_v[123]$"))
+    # parquet-cached profiles arrive in few partitions (tiny table + AQE
+    # coalesce); spread BEFORE the x100 explode or the scoring stage runs on
+    # a handful of tasks regardless of cores
+    base = profiles.filter(~F.col("conv_id").rlike("_v[123]$")).repartition(cores * 2)
     pairs = base.select(F.col("conv_id").alias("conv_a")).withColumn(
         "conv_b",
         F.explode(
@@ -127,7 +133,7 @@ def _scaling_worker(cores: int) -> None:
 
 def _run_scaling() -> dict:
     results = {}
-    for cores in SCALING_CORES * 2:  # two passes per config; keep the min (noisy-VM guard)
+    for cores in SCALING_CORES * 2:  # best-of-2 per config (noisy-VM guard)
         # taskset pins the whole process tree (JVM + Python UDF workers) to
         # `cores` CPUs — local[N] alone bounds only JVM task threads, while
         # pandas-UDF workers are separate OS processes and would silently use
