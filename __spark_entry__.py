@@ -44,6 +44,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q.text_fingerprints,
         "ann_cosine_topk": q.ann_cosine_topk,
         "ann_lsh_topk": q.ann_lsh_topk,
+        "er_dropped_blocks": q.er_dropped_blocks,
+        "rel_window_running": queries_tpch.rel_window_running,
+        "text_extract_struct": queries_tpch.text_extract_struct,
         "rel_q1_agg": queries_tpch.rel_q1_agg,
         "rel_join_rollup": queries_tpch.rel_join_rollup,
         "rel_nullsafe_join": queries_tpch.rel_nullsafe_join,
@@ -84,5 +87,6 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": oracle_docs.doc_fingerprints_sql(),
         "ann_cosine_topk": oracle_docs.ann_cosine_topk_sql(),
         "ann_lsh_topk": oracle_docs.ann_lsh_topk_sql(dim=64),
+        "er_dropped_blocks": oracle.dropped_blocks_sql(),
         **oracle_tpch.ALL,
     }

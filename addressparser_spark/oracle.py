@@ -317,3 +317,17 @@ FROM raw_convs""",
   FROM transcripts GROUP BY conv_id
 )""",
     )
+
+
+def dropped_blocks_sql() -> str:
+    return _assemble(
+        f"""SELECT block_key, CAST(n AS BIGINT) AS block_n,
+       CAST(n * (n - 1) / 2 AS BIGINT) AS pairs_dropped
+FROM block_n WHERE n > {MAX_BLOCK_SIZE}""",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        _minhash_cte(),
+        _bands_cte(),
+        BLOCKS_CTE,
+    )

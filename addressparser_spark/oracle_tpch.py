@@ -145,3 +145,23 @@ ALL = {
     "rel_pivot": REL_PIVOT,
     "rel_rollup": REL_ROLLUP,
 }
+
+REL_WINDOW_RUNNING = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+       round(value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 2) AS delta
+FROM events
+"""
+
+TEXT_EXTRACT_STRUCT = """
+SELECT doc_id,
+       nullif(regexp_extract(text, '([0-9]+)', 1), '') AS first_number,
+       nullif(regexp_extract(text, '([A-Za-z]{4,})', 1), '') AS first_long_word,
+       len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> trim(s) <> '')) AS n_sentences
+FROM documents
+"""
+
+ALL["rel_window_running"] = REL_WINDOW_RUNNING
+ALL["text_extract_struct"] = TEXT_EXTRACT_STRUCT

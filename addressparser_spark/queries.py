@@ -177,3 +177,10 @@ def er_parse_udtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = transcripts_df(spark, sf_dir)
     return parse_transcripts(spark, serialize_convs(t))
+
+
+def er_dropped_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-size-cap accounting (never silent): oversized blocks + dropped pairs."""
+    p = _profiles(spark, sf_dir)
+    _, dropped = pairs_op.capped_blocks(blocking.block_table(p))
+    return dropped

@@ -200,3 +200,31 @@ def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
     )
+
+
+def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates + lag deltas per user over the events stream."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(run), 2).alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias("delta"),
+    )
+
+
+def text_extract_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 analog: iterative regex peel-off of typed components into a struct."""
+    d = _t(spark, sf_dir, "documents")
+    first_num = F.regexp_extract("text", "([0-9]+)", 1)
+    first_word = F.regexp_extract("text", "([A-Za-z]{4,})", 1)
+    n_sents = F.size(F.filter(F.split("text", "[.!?]"), lambda s: F.trim(s) != ""))
+    return d.select(
+        "doc_id",
+        F.when(first_num == "", None).otherwise(first_num).alias("first_number"),
+        F.when(first_word == "", None).otherwise(first_word).alias("first_long_word"),
+        n_sents.alias("n_sentences"),
+    )

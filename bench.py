@@ -83,9 +83,9 @@ def _scaling_worker(cores: int) -> None:
 
     spark = get_spark(app=f"bench-scaling-{cores}", cores=cores,
                       shuffle_partitions=max(8, cores * 2), driver_memory="48g")
-    # profiles built in-session (setup, not timed): a parquet-cached variant
-    # was tried and made the scoring stage ~2.8x slower from the cache-backed
-    # scan; the in-memory build is both faster end-to-end and more honest
+    # profiles built in-session (setup, not timed); a parquet-cached variant
+    # measured slower once but did not reproduce under controlled pinning -
+    # in-session build is kept as the simpler, equally fast option
     t = synth_transcripts(spark, n_convs=BENCH_CONVS)
     profiles = blocking.conv_profiles(blocking.normalize_turns(t)).cache()
     profiles.count()  # materialize outside the timed region
