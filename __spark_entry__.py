@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_scored_pairs": q.er_scored_pairs,
         "er_linkage_clusters": q.er_linkage_clusters,
         "er_parse_udtf_roundtrip": q.er_parse_udtf_roundtrip,
+        "er_cluster_summary": q.er_cluster_summary,
         "er_resolve_entities": q.er_resolve_entities,
         "er_eval_f1": q.er_eval_f1,
         "dedup_exact": q.dedup_exact,
@@ -75,6 +76,7 @@ def oracle_sql() -> dict[str, str]:
         "er_scored_pairs": oracle.scored_pairs_sql(),
         "er_linkage_clusters": oracle.linkage_clusters_sql(),
         "er_parse_udtf_roundtrip": oracle.parse_udtf_roundtrip_sql(),
+        "er_cluster_summary": oracle.cluster_summary_sql(),
         "er_resolve_entities": oracle.resolve_entities_sql(),
         "er_eval_f1": oracle.eval_f1_sql(),
         "dedup_exact": oracle_docs.dedup_exact_sql(),

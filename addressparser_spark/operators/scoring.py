@@ -124,3 +124,20 @@ def matched_edges(scored: DataFrame) -> DataFrame:
     return scored.filter(F.col("verdict").isin(*MATCH_VERDICTS)).select(
         F.col("conv_a").alias("src"), F.col("conv_b").alias("dst")
     )
+
+
+def compare_convs(transcripts: DataFrame, conv_a: str, conv_b: str) -> DataFrame:
+    """Point comparison of two conversations -> one verdict row.
+
+    Public-API analog of ``CompareAddresses(string, string)``
+    (``AddressParser.cs:143-153``): callers hand two entity keys and get the
+    categorical verdict plus the similarity features the cascade used.
+    """
+    from . import blocking
+
+    pair = transcripts.sparkSession.createDataFrame(
+        [(min(conv_a, conv_b), max(conv_a, conv_b))], ["conv_a", "conv_b"]
+    )
+    sub = transcripts.filter(F.col("conv_id").isin(conv_a, conv_b))
+    profiles = blocking.conv_profiles(blocking.normalize_turns(sub))
+    return score_pairs(pair, profiles, with_jw=True, broadcast_profiles=True)

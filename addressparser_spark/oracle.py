@@ -331,3 +331,20 @@ FROM block_n WHERE n > {MAX_BLOCK_SIZE}""",
         _bands_cte(),
         BLOCKS_CTE,
     )
+
+
+def cluster_summary_sql() -> str:
+    return _assemble(
+        """SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       string_agg(conv_id, ', ' ORDER BY conv_id) AS members
+FROM clusters GROUP BY cluster_id""",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        _minhash_cte(),
+        _bands_cte(),
+        BLOCKS_CTE,
+        SCORED_CTE,
+        CLUSTERS_CTE,
+    )

@@ -184,3 +184,14 @@ def er_dropped_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _profiles(spark, sf_dir)
     _, dropped = pairs_op.capped_blocks(blocking.block_table(p))
     return dropped
+
+
+def er_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display-string builder (AddressStringBuilder analog): one row per
+    cluster with sorted member list and size."""
+    p = _profiles(spark, sf_dir)
+    clusters = _funnel_clusters(p)
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.array_join(F.array_sort(F.collect_list("conv_id")), ", ").alias("members"),
+    )

@@ -72,3 +72,14 @@ def test_repartition_invariance(spark, sf_dir):
     shuffled = t.repartition(13).sortWithinPartitions(F.desc("text"))
     got = {r["conv_id"]: r["cluster_id"] for r in run_linkage(shuffled, with_jw=False).clusters.collect()}
     assert got == base
+
+
+def test_compare_convs_point_api(spark, sf_dir):
+    from addressparser_spark.data.transcripts import transcripts_df
+    from addressparser_spark.operators.scoring import compare_convs
+
+    t = transcripts_df(spark, sf_dir)
+    r = compare_convs(t, "conv_000000", "conv_000000_v1").collect()
+    assert len(r) == 1 and r[0]["verdict"] == "exact"
+    r2 = compare_convs(t, "conv_000001", "conv_000003").collect()
+    assert len(r2) == 1 and r2[0]["verdict"] == "far"
