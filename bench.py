@@ -172,6 +172,11 @@ def main() -> None:
 
     spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=max(16, CPUS))
     queries = _headline(spark)
+    # headline correctness: pairwise F1 vs ground truth at this sf
+    import __spark_entry__ as entry
+    f1_row = entry.queries()["er_eval_f1"](spark, SF_DIR).collect()[0]
+    f1 = {k: (float(f1_row[k]) if k in ("precision", "recall", "f1") else int(f1_row[k]))
+          for k in ("tp", "fp", "fn", "precision", "recall", "f1")}
     spark.stop()
 
     scaling = None
@@ -186,6 +191,7 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    out["pairwise_f1"] = f1
     if scaling is not None:
         out["scaling"] = scaling
     print(json.dumps(out))
