@@ -133,7 +133,7 @@ def _scaling_worker(cores: int) -> None:
 
 def _run_scaling() -> dict:
     results = {}
-    for cores in SCALING_CORES * 2:  # best-of-2 per config (noisy-VM guard)
+    for cores in SCALING_CORES:
         # taskset pins the whole process tree (JVM + Python UDF workers) to
         # `cores` CPUs — local[N] alone bounds only JVM task threads, while
         # pandas-UDF workers are separate OS processes and would silently use
