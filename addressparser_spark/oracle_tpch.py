@@ -106,9 +106,11 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
+  -- CAST: DuckDB sum(int) OVER ... yields HUGEINT (-> float in pandas) while
+  -- Spark yields BIGINT; the driver's value hash is dtype-sensitive.
   SELECT user_id, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
   FROM g
 )
 SELECT user_id, sess_idx, count(*) AS n_events, round(sum(value), 2) AS session_value

@@ -133,7 +133,11 @@ def _scaling_worker(cores: int) -> None:
 
 def _run_scaling() -> dict:
     results = {}
-    for cores in SCALING_CORES:
+    # best-of-N per core count: this VM's run-to-run variance (noisy
+    # neighbors) measured 0.26-0.79 efficiency on the SAME binary; a single
+    # pass is a coin flip. The min per config is the least-perturbed run.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    for cores in SCALING_CORES * repeats:
         # taskset pins the whole process tree (JVM + Python UDF workers) to
         # `cores` CPUs — local[N] alone bounds only JVM task threads, while
         # pandas-UDF workers are separate OS processes and would silently use

@@ -45,6 +45,12 @@ def test_query_matches_oracle(spark, sf_dir, name):
     want = _canon(con.execute(sql).df())
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
     assert len(got) == len(want), (len(got), len(want))
+    # dtype *kind* must match too: the driver's value hash distinguishes 52
+    # from 52.0, so a DuckDB HUGEINT (-> float64) vs Spark BIGINT mismatch
+    # must fail here, not at the driver (this exact drift shipped in r01).
+    for c in got.columns:
+        assert got[c].dtype.kind == want[c].dtype.kind, (
+            c, got[c].dtype, want[c].dtype)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
