@@ -2,13 +2,18 @@
 
 - Token/shingle-set Jaccard + containment: pure Catalyst array expressions.
 - Levenshtein: Spark built-in (JVM, ``F.levenshtein``) — never Python.
-- Jaro-Winkler: Spark has no built-in, so this is the designated slow-path
-  exception: an Arrow-batched pandas UDF (never a row-at-a-time ``F.udf``),
-  mirroring the reference's pairwise comparator slot
-  (``AddressComparer.cs:107-268``). The implementation matches the classic
-  Winkler formulation (prefix<=4, p=0.1, boost only when jaro > 0.7), which is
-  also what DuckDB's ``jaro_winkler_similarity`` computes — letting the driver
-  oracle verify it.
+- Jaro-Winkler: Spark has no built-in, so it ships as a compiled JVM UDF
+  (``java/JaroWinkler.java`` -> ``jars/jw-udf.jar``, registered as
+  ``jw_java`` by ``session.get_spark``): no Python workers, no Arrow hop —
+  the pairwise scoring stage stays entirely JVM-side, which is what lets its
+  throughput scale linearly with cores. When the jar is absent the
+  Arrow-batched pandas UDF below is the fallback (never a row-at-a-time
+  ``F.udf``), mirroring the reference's pairwise comparator slot
+  (``AddressComparer.cs:107-268``). Both implementations match the classic
+  Winkler formulation (prefix<=4, p=0.1, boost only when jaro > 0.7) with the
+  same IEEE-754 operation order — and DuckDB's ``jaro_winkler_similarity``
+  computes the identical value, letting the driver oracle verify either path
+  bit-for-bit (tests/test_similarity_jvm.py proves three-way equality).
 """
 
 from __future__ import annotations
@@ -114,4 +119,18 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def jaro_winkler_col(a: Column, b: Column, max_len: int = 96) -> Column:
-    return jaro_winkler_udf(F.substring(a, 1, max_len), F.substring(b, 1, max_len))
+    """JW on length-capped prefixes: JVM UDF when registered, pandas fallback.
+
+    The two paths are bit-identical (same algorithm, same double op order),
+    so which one a session ends up with never changes results — only whether
+    the scoring stage needs Python workers.
+    """
+    from pyspark.sql import SparkSession
+
+    from ..session import JW_FUNC, register_jw
+
+    ta, tb = F.substring(a, 1, max_len), F.substring(b, 1, max_len)
+    spark = SparkSession.getActiveSession()
+    if spark is not None and register_jw(spark):
+        return F.call_function(JW_FUNC, ta, tb)
+    return jaro_winkler_udf(ta, tb)

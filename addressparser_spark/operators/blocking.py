@@ -83,14 +83,22 @@ def conv_profiles(turns_norm: DataFrame) -> DataFrame:
         F.transform(F.col("turns"), lambda t: t["role"]).alias("role_seq"),
     )
     prof = prof.withColumn("tokens", tokens_col(F.col("concat_text")))
-    prof = prof.withColumn("shingles", distinct_shingles_col(F.col("tokens"), SHINGLE_K))
     # 64-bit hashed shingles: the scoring join carries these instead of the
     # string set — ~8x smaller shuffle payload, integer intersects, and
-    # set-overlap measures (Jaccard/containment) are hash-invariant.
-    prof = prof.withColumn("sh_hash", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
+    # set-overlap measures (Jaccard/containment) are hash-invariant. Sorted
+    # ascending so the scorer's merge-walk intersect kernel (O(n+m), no
+    # per-row hash set — java/IntersectCount.java) can consume them directly.
+    # The STRING shingle set is deliberately NOT kept in the profile: it
+    # nearly doubles the cached/shuffled row (it's the text re-materialized)
+    # and only minhash_signature needs it — that one consumer re-derives it
+    # from ``tokens`` (a cheap zip_with) instead.
+    prof = prof.withColumn("shingles", distinct_shingles_col(F.col("tokens"), SHINGLE_K))
+    prof = prof.withColumn(
+        "sh_hash", F.array_sort(F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
+    )
     return prof.select(
         "conv_id", "n_turns", "sig", "prefix_key", "concat_text",
-        "tokens", "shingles", "sh_hash", "role_seq",
+        "tokens", "sh_hash", "role_seq",
     )
 
 
@@ -102,7 +110,12 @@ def minhash_signature(
     integer MinHash and is reproducible in any engine (the DuckDB oracle
     computes the identical value).
     """
-    ex = profiles.select("conv_id", F.explode("shingles").alias("sh"))
+    # shingle strings re-derived from tokens (kept out of the cached profile
+    # row on purpose — see conv_profiles)
+    ex = profiles.select(
+        "conv_id",
+        F.explode(distinct_shingles_col(F.col("tokens"), SHINGLE_K)).alias("sh"),
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i:02d}|"), F.col("sh")))).alias(f"mh_{i:02d}")
         for i in range(num_hashes)
@@ -141,12 +154,50 @@ def band_keys(
     )
 
 
+def canonical_tokens_col(tokens, synonyms: dict[str, str] | None = None):
+    """Fold each token to its canonical form via the synonym dictionary.
+
+    The dictionary is applied as a Catalyst ``map`` literal (no shuffle, no
+    Python): synonym tables are dimension-sized, the classic broadcast-dim
+    shape. Mirrors ``PushCrutch`` (``Parser.cs:367-520``) — variant terms
+    collapse to one spelling before key generation.
+    """
+    from ..data.synonyms import DEFAULT_SYNONYMS
+
+    syn = DEFAULT_SYNONYMS if synonyms is None else synonyms
+    m = F.create_map(*[F.lit(x) for kv in sorted(syn.items()) for x in kv])
+    return F.transform(tokens, lambda t: F.coalesce(m[t], t))
+
+
+def synonym_blocks(
+    profiles: DataFrame, synonyms: dict[str, str] | None = None
+) -> DataFrame:
+    """(conv_id, src='syn', block_key): synonym-canonical signature keys.
+
+    Two conversations whose texts differ only by dictionary variants get the
+    SAME key (metamorphic property tested in tests/test_synonyms.py) — the
+    recall mechanism the sig/prefix/minhash families can't provide when a
+    variant changes many shingles at once.
+    """
+    canon = canonical_tokens_col(F.col("tokens"), synonyms)
+    return profiles.select(
+        "conv_id",
+        F.lit("syn").alias("src"),
+        F.md5(F.array_join(canon, " ")).alias("block_key"),
+    )
+
+
 def block_table(
     profiles: DataFrame,
     num_hashes: int = NUM_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
+    synonyms: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Union of all blocking keys: (conv_id, src, block_key)."""
+    """Union of all blocking keys: (conv_id, src, block_key).
+
+    ``synonyms``: pass a variant->canonical dict to add the 'syn' key family
+    (opt-in so the default pipeline's oracle stays byte-stable).
+    """
     sig_keys = profiles.select(
         "conv_id", F.lit("sig").alias("src"), F.col("sig").alias("block_key")
     )
@@ -154,4 +205,7 @@ def block_table(
         "conv_id", F.lit("prefix").alias("src"), F.col("prefix_key").alias("block_key")
     )
     mh = band_keys(minhash_signature(profiles, num_hashes), num_hashes, rows_per_band)
-    return sig_keys.unionByName(prefix_keys).unionByName(mh)
+    out = sig_keys.unionByName(prefix_keys).unionByName(mh)
+    if synonyms is not None:
+        out = out.unionByName(synonym_blocks(profiles, synonyms))
+    return out

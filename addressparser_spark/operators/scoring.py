@@ -14,19 +14,24 @@ Verdicts (first match wins):
 - ``partial``     Jaccard >= 0.5
 - ``far``         otherwise
 
-``jaccard``/``containment`` are Catalyst array expressions; ``lev_sim`` is the
-JVM built-in Levenshtein on capped prefixes; ``jw`` is the Arrow-batched
-pandas-UDF Jaro-Winkler (the one sanctioned Python hop). The cascade itself
-depends only on sig/jaccard/containment, so the verdict is reproducible in
-the ANSI-SQL oracle.
+``jaccard``/``containment`` derive from one set-intersection count per pair;
+``lev_sim`` is normalized capped-prefix Levenshtein; ``jw`` is Jaro-Winkler.
+All three run as compiled JVM kernels when the shipped jar is loaded
+(``java/``: merge-walk intersect over sorted hashes, two-row-DP Levenshtein,
+Jaro-Winkler — value-identical to the Catalyst/pandas fallbacks, no Python
+workers, no per-row hash-set allocation; that allocation churn was the
+measured cause of sub-linear core scaling). The cascade itself depends only
+on sig/jaccard/containment, so the verdict is reproducible in the ANSI-SQL
+oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.similarity import jaro_winkler_col, levenshtein_sim_col
+from ..session import INTERSECT_FUNC, LEVSIM_FUNC, TEXTSIM_FUNC, register_jw
 
 JACCARD_NEAR = 0.9
 CONTAIN_NEAR = 0.9
@@ -86,10 +91,19 @@ def score_pairs(
             F.col("B.text").alias("text_b"),
         )
     )
-    # one array_intersect pass per pair; Jaccard and containment both derive
+    # one set-intersection count per pair; Jaccard and containment both derive
     # from it arithmetically (|A∪B| = |A|+|B|-|A∩B| since the sets are
-    # distinct) — no array_union materialization, 3x less allocation churn
-    j = j.withColumn("inter", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))))
+    # distinct) — no array_union materialization. JVM merge-walk kernel over
+    # the sorted sh_hash arrays when available; array_intersect fallback is
+    # value-identical (sortedness doesn't change set overlap).
+    spark = SparkSession.getActiveSession()
+    use_jvm = spark is not None and register_jw(spark)
+    inter = (
+        F.call_function(INTERSECT_FUNC, F.col("sh_a"), F.col("sh_b"))
+        if use_jvm
+        else F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    )
+    j = j.withColumn("inter", inter)
     na, nb = F.size("sh_a"), F.size("sh_b")
     union = na + nb - F.col("inter")
     j = j.withColumn(
@@ -105,9 +119,28 @@ def score_pairs(
             6,
         ),
     )
-    j = j.withColumn("lev_sim", F.round(levenshtein_sim_col(F.col("text_a"), F.col("text_b")), 6))
-    if with_jw:
-        j = j.withColumn("jw", F.round(jaro_winkler_col(F.col("text_a"), F.col("text_b")), 6))
+    if use_jvm and with_jw:
+        # fused kernel: one string decode yields [lev_sim, jw] — halves the
+        # per-pair allocation rate, which is what GC-bound core scaling sees
+        j = j.withColumn(
+            "ts", F.call_function(TEXTSIM_FUNC, F.col("text_a"), F.col("text_b"))
+        )
+        j = j.withColumn("lev_sim", F.round(F.col("ts")[0], 6)).withColumn(
+            "jw", F.round(F.col("ts")[1], 6)
+        )
+    elif use_jvm:
+        j = j.withColumn(
+            "lev_sim",
+            F.round(F.call_function(LEVSIM_FUNC, F.col("text_a"), F.col("text_b")), 6),
+        )
+    else:
+        j = j.withColumn(
+            "lev_sim", F.round(levenshtein_sim_col(F.col("text_a"), F.col("text_b")), 6)
+        )
+        if with_jw:
+            j = j.withColumn(
+                "jw", F.round(jaro_winkler_col(F.col("text_a"), F.col("text_b")), 6)
+            )
     verdict = (
         F.when(F.col("sig_a") == F.col("sig_b"), "exact")
         .when(F.col("jaccard") >= JACCARD_NEAR, "near_dup")
@@ -117,6 +150,60 @@ def score_pairs(
     )
     cols = ["conv_a", "conv_b", "jaccard", "containment", "lev_sim"] + (["jw"] if with_jw else [])
     return j.withColumn("verdict", verdict).select(*cols, "verdict")
+
+
+VERDICT_RANK = {"exact": 5, "near_dup": 4, "resumption": 3, "partial": 2, "far": 1}
+
+
+def choose_candidate(scored: DataFrame, profiles: DataFrame) -> DataFrame:
+    """R1 proper: the multi-feature ranking cascade as ONE composed window.
+
+    Analog of ``AddressChooser.cs:19-109`` — a 9-step ordered tie-break over
+    computed features. The Spark-first form is exactly what SURVEY §2.6
+    specifies: compute every feature as a column, then a single
+    ``row_number`` over the composed descending order (verdict class,
+    jaccard, containment, lev_sim, jw, candidate size, id) — one shuffle on
+    ``conv_a``, no per-step passes. Every feature is deterministic and the
+    final key (``conv_b``) is unique, so the chosen row is total-order
+    stable under any partitioning.
+
+    Returns one row per ``conv_a``: its best-ranked candidate with the
+    features that chose it.
+    """
+    expr = None
+    for v, r in VERDICT_RANK.items():
+        expr = (
+            F.when(F.col("verdict") == v, r)
+            if expr is None
+            else expr.when(F.col("verdict") == v, r)
+        )
+    feats = scored.join(
+        profiles.select(F.col("conv_id").alias("conv_b"), F.col("n_turns").alias("n_turns_b")),
+        "conv_b",
+    ).withColumn("verdict_rank", expr)
+    w = Window.partitionBy("conv_a").orderBy(
+        F.desc("verdict_rank"),
+        F.desc("jaccard"),
+        F.desc("containment"),
+        F.desc("lev_sim"),
+        F.desc("jw"),
+        F.desc("n_turns_b"),
+        F.asc("conv_b"),
+    )
+    return (
+        feats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "conv_a",
+            F.col("conv_b").alias("best_match"),
+            "verdict",
+            "jaccard",
+            "containment",
+            "lev_sim",
+            "jw",
+            "n_turns_b",
+        )
+    )
 
 
 def matched_edges(scored: DataFrame) -> DataFrame:

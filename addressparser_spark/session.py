@@ -13,6 +13,49 @@ import os
 
 from pyspark.sql import SparkSession
 
+# JVM scoring-kernel jar (built by java/build.sh, committed): Jaro-Winkler,
+# merge-walk intersect count, and two-row-DP Levenshtein similarity. Loading
+# it at session build time lets the pairwise scoring stage run with zero
+# Python workers and no per-row hash-set churn — the Catalyst/pandas paths
+# remain as fallbacks when the jar is absent (e.g. spark-submit without
+# --jars). Every JVM kernel is value-identical to its fallback, so which
+# path a session gets never changes results.
+JW_JAR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jars", "jw-udf.jar")
+JW_FUNC = "jw_java"
+INTERSECT_FUNC = "intersect_count_java"
+LEVSIM_FUNC = "lev_sim_java"
+TEXTSIM_FUNC = "text_sim_java"  # fused [lev_sim, jw] — one decode per pair
+
+_JVM_FUNCS = (
+    (JW_FUNC, "addressparser.JaroWinkler", "double"),
+    (INTERSECT_FUNC, "addressparser.IntersectCount", "int"),
+    (LEVSIM_FUNC, "addressparser.LevSim", "double"),
+    (TEXTSIM_FUNC, "addressparser.TextSim", "array<double>"),
+)
+
+
+def register_jw(spark: SparkSession) -> bool:
+    """Register the JVM scoring kernels if the jar is loaded.
+
+    Returns True when the JVM path is usable in this session. Safe to call
+    repeatedly; safe on sessions built without the jar (returns False).
+    """
+    try:
+        if spark.catalog.functionExists(JW_FUNC):
+            return True
+        from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+        types = {
+            "double": DoubleType(),
+            "int": IntegerType(),
+            "array<double>": ArrayType(DoubleType()),
+        }
+        for name, cls, rt in _JVM_FUNCS:
+            spark.udf.registerJavaFunction(name, cls, types[rt])
+        return True
+    except Exception:
+        return False
+
 
 def get_spark(
     app: str = "transcript-linkage",
@@ -50,8 +93,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
+    if os.path.exists(JW_JAR):
+        b = b.config("spark.jars", JW_JAR)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    register_jw(spark)
     return spark
