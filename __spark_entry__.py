@@ -46,6 +46,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q.ann_cosine_topk,
         "ann_lsh_topk": q.ann_lsh_topk,
         "er_dropped_blocks": q.er_dropped_blocks,
+        "er_substring_block": q.er_substring_block,
+        "er_synonym_blocks": q.er_synonym_blocks,
+        "er_choose_candidate": q.er_choose_candidate,
+        "text_extract_iterative": q.text_extract_iterative,
+        "dedup_dropped_buckets": q.dedup_dropped_buckets,
         "rel_window_running": queries_tpch.rel_window_running,
         "text_extract_struct": queries_tpch.text_extract_struct,
         "rel_q1_agg": queries_tpch.rel_q1_agg,
@@ -90,5 +95,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracle_docs.ann_cosine_topk_sql(),
         "ann_lsh_topk": oracle_docs.ann_lsh_topk_sql(dim=64),
         "er_dropped_blocks": oracle.dropped_blocks_sql(),
+        "er_substring_block": oracle.substring_block_sql(),
+        "er_synonym_blocks": oracle.synonym_blocks_sql(),
+        "er_choose_candidate": oracle.choose_candidate_sql(),
+        "text_extract_iterative": oracle_docs.extract_iterative_sql(),
+        "dedup_dropped_buckets": oracle_docs.dropped_buckets_sql(),
         **oracle_tpch.ALL,
     }

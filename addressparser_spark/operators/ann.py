@@ -73,20 +73,29 @@ def cosine_topk(
     )
 
 
+def _hyperplane_values(plane: int, dim: int) -> list[float]:
+    """±1 hyperplane from md5(plane|d) — computed ONCE driver-side.
+
+    Same rule the DuckDB oracle derives in SQL (first hex char of
+    md5('<plane>|<d>') >= '8' -> +1), so results are unchanged; but baking
+    the planes into literal arrays removes the per-row md5 storm the r01
+    plan had (~n_tables*bits*dim ≈ 2048 md5 calls PER ROW — a scale-killer
+    at 10^9 vectors). Hyperplanes are data-independent constants; constants
+    belong in the plan, not the row loop.
+    """
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[0] >= "8" else -1.0
+        for d in range(dim)
+    ]
+
+
 def _hyperplane_sign(emb: Column, plane: int, dim: int) -> Column:
-    """Sign bit of <v, h_plane> where h_plane[d] = ±1 from md5(plane|d)."""
+    """Sign bit of <v, h_plane> with the plane embedded as a literal array."""
+    h = F.array(*[F.lit(v) for v in _hyperplane_values(plane, dim)])
     proj = F.aggregate(
-        F.zip_with(
-            emb,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda d: F.when(
-                    F.substring(F.md5(F.concat_ws("|", F.lit(str(plane)), d.cast("string"))), 1, 1) >= "8",
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            lambda x, h: x * h,
-        ),
+        F.zip_with(emb, h, lambda x, hv: x * hv),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

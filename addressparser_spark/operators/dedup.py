@@ -117,8 +117,27 @@ def doc_band_keys(
     )
 
 
+def bucket_drop_stats(buckets: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(bucket, bucket_n, pairs_dropped): oversized buckets the cap skipped.
+
+    The 'cap + never silent' guardrail for the doc-dedup family — same
+    contract as ``pairs.capped_blocks`` surfaces for conversation blocking
+    (``er_dropped_blocks``): recall loss from hot buckets is a *metric*, not
+    an invisible behavior. Exposed as the ``dedup_dropped_buckets`` query.
+    """
+    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
+    return sizes.filter(F.col("bucket_n") > max_bucket).select(
+        "bucket",
+        "bucket_n",
+        ((F.col("bucket_n") * (F.col("bucket_n") - 1)) / 2)
+        .cast("bigint")
+        .alias("pairs_dropped"),
+    )
+
+
 def _bucket_pairs(buckets: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
-    """In-bucket pairs with the block-size guardrail (cap + never silent)."""
+    """In-bucket pairs with the block-size guardrail (cap + never silent:
+    the dropped side is observable via :func:`bucket_drop_stats`)."""
     from pyspark.storagelevel import StorageLevel
 
     # buckets fan out into 3 consumers (sizes + both self-join sides):
@@ -190,13 +209,8 @@ def doc_simhash(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", bits.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_DUP) -> DataFrame:
-    """(doc_id_a, doc_id_b, hamming, is_dup): banded simhash buckets -> pairs.
-
-    Bucket key = one of the 4 8-char simhash bands; two sketches within
-    Hamming distance <= 3 share at least one intact band (pigeonhole).
-    """
-    sh = doc_simhash(docs)
+def simhash_buckets(simhash: DataFrame) -> DataFrame:
+    """(doc_id, bucket): the 4 banded simhash bucket keys per doc."""
     bands = F.array(
         *[
             F.struct(
@@ -206,10 +220,19 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_DUP) -> DataFrame:
             for b in range(SIMHASH_BITS // SIMHASH_BAND_CHARS)
         ]
     )
-    buckets = sh.select("doc_id", F.explode(bands).alias("b")).select(
+    return simhash.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.bucket").alias("bucket")
     )
-    cand = _bucket_pairs(buckets)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_DUP) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming, is_dup): banded simhash buckets -> pairs.
+
+    Bucket key = one of the 4 8-char simhash bands; two sketches within
+    Hamming distance <= 3 share at least one intact band (pigeonhole).
+    """
+    sh = doc_simhash(docs)
+    cand = _bucket_pairs(simhash_buckets(sh))
     j = (
         cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("s_a")), "doc_id_a")
         .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("s_b")), "doc_id_b")
@@ -227,6 +250,17 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_DUP) -> DataFrame:
         ham.alias("hamming"),
         (ham <= max_hamming).alias("is_dup"),
     )
+
+
+def dropped_buckets(docs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(family, bucket, bucket_n, pairs_dropped) across both sketch families."""
+    mh = bucket_drop_stats(doc_band_keys(doc_minhash(docs)), max_bucket).select(
+        F.lit("minhash_lsh").alias("family"), "bucket", "bucket_n", "pairs_dropped"
+    )
+    sh = bucket_drop_stats(simhash_buckets(doc_simhash(docs)), max_bucket).select(
+        F.lit("simhash").alias("family"), "bucket", "bucket_n", "pairs_dropped"
+    )
+    return mh.unionByName(sh)
 
 
 # ---------------------------------------------------------------------------

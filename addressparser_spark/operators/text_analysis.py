@@ -105,6 +105,61 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+# Typed component classes for the iterative peel (the corpus vocabulary's
+# qualifier-ish and unit-ish words — the analog of housing/building/letter)
+QUALIFIER_WORDS = ["dup", "slow", "fast", "small", "big"]
+UNIT_WORDS = ["table", "row", "column", "line", "part", "batch"]
+
+
+def extract_iterative(docs: DataFrame) -> DataFrame:
+    """P6 proper: iterative right-to-left typed peel-off with mutation.
+
+    Analog of ``GetHouseInfo`` (``Parser.cs:536-615``): the reference peels
+    typed components off the END of the string one at a time — extract a
+    component *if its type matches*, strip it, then try the next type on the
+    REMAINDER. Each stage's input is the previous stage's stripped output
+    (that is what distinguishes this from independent field extraction à la
+    ``text_extract_struct``). Bounded iterations (qualifier, qualifier,
+    unit, trailing number), all Catalyst array/when expressions.
+
+    Returns (doc_id, qual1, qual2, unit, tail_num, tail_token, rest_n).
+    """
+    d = docs.select(
+        "doc_id", tokens_col(normalize_col(F.col("text"))).alias("t0")
+    )
+    qual = F.array(*[F.lit(w) for w in QUALIFIER_WORDS])
+    unit = F.array(*[F.lit(w) for w in UNIT_WORDS])
+
+    def peel(frame: DataFrame, src: str, dst: str, out: str, cls) -> DataFrame:
+        t = F.col(src)
+        last = F.try_element_at(t, F.lit(-1))
+        hit = F.coalesce(F.array_contains(cls, last), F.lit(False))
+        frame = frame.withColumn(out, F.when(hit, last))
+        return frame.withColumn(
+            dst, F.when(hit, F.slice(t, 1, F.size(t) - 1)).otherwise(t)
+        )
+
+    d = peel(d, "t0", "t1", "qual1", qual)
+    d = peel(d, "t1", "t2", "qual2", qual)
+    d = peel(d, "t2", "t3", "unit", unit)
+    # generic trailing-number peel (type class: digits) on the remainder
+    last3 = F.try_element_at(F.col("t3"), F.lit(-1))
+    num_hit = F.coalesce(last3.rlike("^[0-9]+$"), F.lit(False))
+    d = d.withColumn("tail_num", F.when(num_hit, last3))
+    d = d.withColumn(
+        "t4", F.when(num_hit, F.slice(F.col("t3"), 1, F.size("t3") - 1)).otherwise(F.col("t3"))
+    )
+    return d.select(
+        "doc_id",
+        "qual1",
+        "qual2",
+        "unit",
+        "tail_num",
+        F.try_element_at(F.col("t4"), F.lit(-1)).alias("tail_token"),
+        F.size("t4").alias("rest_n"),
+    )
+
+
 def doc_fingerprints(docs: DataFrame, n: int = FINGERPRINT_NGRAM, k: int = FINGERPRINT_K) -> DataFrame:
     """Bottom-k sketch of char-n-gram md5s: a compact content fingerprint.
 

@@ -11,11 +11,13 @@ These strings are *oracles*, not the engine: readability over speed.
 
 from __future__ import annotations
 
+from .data.synonyms import synonym_case_sql
 from .data.transcripts import TRANSCRIPTS_CTE_DUCKDB
 from .functions.normalize import normalize_sql_duckdb
 from .operators.blocking import NUM_HASHES, PREFIX_TURNS, ROWS_PER_BAND, SHINGLE_K
 from .operators.pairs import MAX_BLOCK_SIZE
-from .operators.scoring import CONTAIN_NEAR, JACCARD_NEAR, JACCARD_PARTIAL
+from .operators.scoring import CONTAIN_NEAR, JACCARD_NEAR, JACCARD_PARTIAL, VERDICT_RANK
+from .operators.substring_join import ANCHOR_TOKENS, RARE_DF_CAP
 
 NORM_TURNS_CTE = f"""
 norm_turns AS (
@@ -330,6 +332,80 @@ FROM block_n WHERE n > {MAX_BLOCK_SIZE}""",
         _minhash_cte(),
         _bands_cte(),
         BLOCKS_CTE,
+    )
+
+
+SUBSTRING_CTE = f"""
+key_df AS (
+  SELECT s AS key, count(*) AS df FROM conv_shingles GROUP BY s
+),
+rare AS (
+  SELECT i.conv_id, i.s AS key FROM conv_shingles i JOIN key_df d ON d.key = i.s
+  WHERE d.df <= {RARE_DF_CAP}
+),
+sub_cand AS (
+  SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
+  FROM rare a JOIN rare b USING (key)
+  WHERE a.conv_id < b.conv_id
+),
+anchors AS (
+  SELECT t.conv_id,
+         array_to_string(t.toks[1:{ANCHOR_TOKENS}], ' ') AS anchor,
+         p.concat_text
+  FROM tok_lists t JOIN profiles p USING (conv_id)
+)
+"""
+
+
+def substring_block_sql() -> str:
+    return _assemble(
+        """SELECT c.conv_a, c.conv_b,
+       contains(pa.concat_text, pb.anchor) AS a_contains_b,
+       contains(pb.concat_text, pa.anchor) AS b_contains_a
+FROM sub_cand c
+JOIN anchors pa ON pa.conv_id = c.conv_a
+JOIN anchors pb ON pb.conv_id = c.conv_b
+WHERE contains(pa.concat_text, pb.anchor) OR contains(pb.concat_text, pa.anchor)""",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        SUBSTRING_CTE,
+    )
+
+
+def synonym_blocks_sql() -> str:
+    case = synonym_case_sql("t")
+    return _assemble(
+        f"""SELECT conv_id, 'syn' AS src,
+       md5(array_to_string(list_transform(toks, t -> {case}), ' ')) AS block_key
+FROM tok_lists""",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+    )
+
+
+def choose_candidate_sql() -> str:
+    vr = " ".join(f"WHEN '{v}' THEN {r}" for v, r in VERDICT_RANK.items())
+    return _assemble(
+        f"""SELECT conv_a, conv_b AS best_match, verdict, jaccard, containment, lev_sim, jw, n_turns_b
+FROM (
+  SELECT v.conv_a, v.conv_b, v.verdict, v.jaccard, v.containment, v.lev_sim, v.jw,
+         p.n_turns AS n_turns_b,
+         CASE v.verdict {vr} ELSE 0 END AS vr
+  FROM verdicts v JOIN profiles p ON p.conv_id = v.conv_b
+)
+QUALIFY row_number() OVER (
+  PARTITION BY conv_a
+  ORDER BY vr DESC, jaccard DESC, containment DESC, lev_sim DESC, jw DESC,
+           n_turns_b DESC, conv_b ASC) = 1""",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        _minhash_cte(),
+        _bands_cte(),
+        BLOCKS_CTE,
+        SCORED_CTE,
     )
 
 

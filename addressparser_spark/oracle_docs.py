@@ -335,3 +335,67 @@ SELECT query_id, neighbor_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
 FROM scored
 QUALIFY rank <= {TOP_K}"""
+
+
+# ---------------------------------------------------------------------------
+# iterative struct extraction (P6) + dropped-bucket accounting
+# ---------------------------------------------------------------------------
+
+
+def extract_iterative_sql() -> str:
+    from .operators.text_analysis import QUALIFIER_WORDS, UNIT_WORDS
+
+    qual = _stoplist_sql(QUALIFIER_WORDS)
+    unit = _stoplist_sql(UNIT_WORDS)
+
+    def peel_cte(name: str, src: str, out: str, cond: str, carried: list[str]) -> str:
+        carry = ", ".join(carried)
+        carry = carry + ", " if carry else ""
+        return f"""{name} AS (
+  SELECT doc_id, {carry}
+         CASE WHEN len(t) > 0 AND {cond} THEN t[-1] END AS {out},
+         CASE WHEN len(t) > 0 AND {cond} THEN t[1:len(t)-1] ELSE t END AS t
+  FROM {src}
+)"""
+
+    return _assemble(
+        """SELECT doc_id, qual1, qual2, unit, tail_num,
+       t[-1] AS tail_token, CAST(len(t) AS INT) AS rest_n
+FROM it4""",
+        NORM_DOCS_CTE,
+        f"it0 AS (SELECT doc_id, {_TOKS} AS t FROM norm_docs)",
+        peel_cte("it1", "it0", "qual1", f"list_contains({qual}, t[-1])", []),
+        peel_cte("it2", "it1", "qual2", f"list_contains({qual}, t[-1])", ["qual1"]),
+        peel_cte("it3", "it2", "unit", f"list_contains({unit}, t[-1])", ["qual1", "qual2"]),
+        peel_cte(
+            "it4", "it3", "tail_num", "regexp_matches(t[-1], '^[0-9]+$')",
+            ["qual1", "qual2", "unit"],
+        ),
+    )
+
+
+def dropped_buckets_sql() -> str:
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_CHARS
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, '{b}|' || substr(simhash, {b * SIMHASH_BAND_CHARS + 1}, {SIMHASH_BAND_CHARS}) AS bucket FROM simhash"
+        for b in range(n_bands)
+    )
+    return _assemble(
+        f"""SELECT * FROM (
+  SELECT 'minhash_lsh' AS family, bucket, n AS bucket_n,
+         CAST(n * (n - 1) / 2 AS BIGINT) AS pairs_dropped
+  FROM (SELECT bucket, count(*) AS n FROM doc_bands GROUP BY bucket)
+  WHERE n > {MAX_BUCKET}
+  UNION ALL
+  SELECT 'simhash' AS family, bucket, n AS bucket_n,
+         CAST(n * (n - 1) / 2 AS BIGINT) AS pairs_dropped
+  FROM (SELECT bucket, count(*) AS n FROM sh_buckets GROUP BY bucket)
+  WHERE n > {MAX_BUCKET}
+)""",
+        NORM_DOCS_CTE,
+        DOC_SHINGLES_CTE,
+        _doc_minhash_cte(),
+        _doc_bands_cte(),
+        _SIMHASH_CTE,
+        f"sh_buckets AS (\n  {band_selects}\n)",
+    )

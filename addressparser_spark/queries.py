@@ -171,6 +171,40 @@ def er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_f1(clusters, labels)
 
 
+def er_substring_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 heavy mode: token inverted-index join + contains post-filter."""
+    from .operators.substring_join import substring_pairs
+
+    return substring_pairs(_profiles(spark, sf_dir))
+
+
+def er_synonym_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: synonym-canonical blocking keys from the broadcast dictionary."""
+    return blocking.synonym_blocks(_profiles(spark, sf_dir))
+
+
+def er_choose_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 proper: multi-feature ranking cascade — one composed row_number."""
+    p = _profiles(spark, sf_dir)
+    cand = pairs_op.candidate_pairs(blocking.block_table(p))
+    scored = scoring.score_pairs(cand, p, with_jw=True)
+    return scoring.choose_candidate(scored, p)
+
+
+def text_extract_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 proper: right-to-left typed peel-off with mutation."""
+    from .operators.text_analysis import extract_iterative
+
+    return extract_iterative(_docs(spark, sf_dir))
+
+
+def dedup_dropped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-bucket accounting for both doc-dedup sketch families."""
+    from .operators.dedup import dropped_buckets
+
+    return dropped_buckets(_docs(spark, sf_dir))
+
+
 def er_parse_udtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TVF surface (S1 analog): serialize conversations, re-parse via UDTF."""
     from .operators.parse_udtf import parse_transcripts, serialize_convs
