@@ -71,15 +71,15 @@ def resolve_entities(
     )
 
 
-def merge_registry(
+def registry_additions(
     resolved: DataFrame, profiles: DataFrame, registry: DataFrame | None = None
 ) -> DataFrame:
-    """The MERGE-INTO emulation: registry ∪ (new entities not yet present).
+    """Entities in this batch that are NOT yet in the registry.
 
-    Iceberg deployment note: this whole function is
-    ``MERGE INTO registry r USING new n ON r.sig <=> n.sig
-    WHEN NOT MATCHED THEN INSERT ...`` — the anti-join+union below is the
-    engine-agnostic equivalent (same null-safe key semantics).
+    This is the write-side of the MERGE emulation: at scale the registry is
+    huge and append-only, so a batch writes ONLY its additions (O(batch)),
+    never a rewritten registry (O(registry)) — the streaming layer appends
+    these as per-epoch delta files and compacts periodically.
     """
     spark = resolved.sparkSession
     new_entities = (
@@ -94,9 +94,24 @@ def merge_registry(
     )
     if registry is None:
         registry = spark.createDataFrame([], REGISTRY_SCHEMA)
-    additions = new_entities.join(
+    return new_entities.join(
         registry.select("sig").withColumn("__hit", F.lit(1)),
         "sig",
         "left_anti",
-    )
-    return registry.unionByName(additions.select("entity_id", "rep_conv_id", "sig"))
+    ).select("entity_id", "rep_conv_id", "sig")
+
+
+def merge_registry(
+    resolved: DataFrame, profiles: DataFrame, registry: DataFrame | None = None
+) -> DataFrame:
+    """The MERGE-INTO emulation: registry ∪ (new entities not yet present).
+
+    Iceberg deployment note: this whole function is
+    ``MERGE INTO registry r USING new n ON r.sig <=> n.sig
+    WHEN NOT MATCHED THEN INSERT ...`` — anti-join+union is the
+    engine-agnostic equivalent (same null-safe key semantics).
+    """
+    spark = resolved.sparkSession
+    if registry is None:
+        registry = spark.createDataFrame([], REGISTRY_SCHEMA)
+    return registry.unionByName(registry_additions(resolved, profiles, registry))

@@ -12,6 +12,7 @@ from addressparser_spark.operators.multimodal import (
     media_from_documents,
 )
 from addressparser_spark.streaming.incremental import (
+    _load_registry,
     incremental_linkage,
     turn_rate_stream,
 )
@@ -42,7 +43,7 @@ def test_incremental_linkage_two_batches(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
 
     resolved = spark.read.parquet(out_dir)
-    registry = spark.read.parquet(reg_dir)
+    registry = _load_registry(spark, reg_dir)
     # registry sigs unique (idempotent merge across overlapping batches)
     assert registry.count() == registry.select("sig").distinct().count()
     # same conv resolved in both epochs -> same entity id
@@ -54,6 +55,15 @@ def test_incremental_linkage_two_batches(spark, sf_dir, tmp_path):
     )
     assert dup == 0
     assert resolved.select("epoch").distinct().count() == 2
+
+    # append-shaped registry: one delta dir per epoch, and epoch 1's delta
+    # holds ONLY additions (no rewrite of epoch 0's entities)
+    deltas = sorted(glob.glob(f"{reg_dir}/delta_epoch=*"))
+    assert len(deltas) == 2, deltas
+    d0 = spark.read.parquet(deltas[0]).select("entity_id")
+    d1 = spark.read.parquet(deltas[1]).select("entity_id")
+    assert d1.join(d0, "entity_id").count() == 0
+    assert d0.count() + d1.count() == registry.count()
 
 
 def test_turn_rate_stream(spark, sf_dir, tmp_path):
