@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_substring_block": q.er_substring_block,
         "er_synonym_blocks": q.er_synonym_blocks,
         "er_choose_candidate": q.er_choose_candidate,
+        "er_type_split": q.er_type_split,
+        "er_requalified_keys": q.er_requalified_keys,
         "text_extract_iterative": q.text_extract_iterative,
         "dedup_dropped_buckets": q.dedup_dropped_buckets,
         "rel_window_running": queries_tpch.rel_window_running,
@@ -98,6 +100,8 @@ def oracle_sql() -> dict[str, str]:
         "er_substring_block": oracle.substring_block_sql(),
         "er_synonym_blocks": oracle.synonym_blocks_sql(),
         "er_choose_candidate": oracle.choose_candidate_sql(),
+        "er_type_split": oracle.type_split_sql(),
+        "er_requalified_keys": oracle.requalified_keys_sql(),
         "text_extract_iterative": oracle_docs.extract_iterative_sql(),
         "dedup_dropped_buckets": oracle_docs.dropped_buckets_sql(),
         **oracle_tpch.ALL,

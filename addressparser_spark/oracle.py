@@ -409,6 +409,51 @@ QUALIFY row_number() OVER (
     )
 
 
+def type_split_sql() -> str:
+    from .data.types_dim import types_values_sql
+
+    return _assemble(
+        """SELECT conv_id,
+       md5(coalesce(string_agg(CASE WHEN type_id IS NULL THEN token END, ' ' ORDER BY pos), '')) AS name_key,
+       array_to_string(list_sort(list_distinct(list_filter(list(type_id), x -> x IS NOT NULL))), ',') AS type_ids,
+       CAST(count(type_id) AS BIGINT) AS n_typed,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM (
+  SELECT e.conv_id, e.pos, e.token, d.type_id
+  FROM (SELECT conv_id, unnest(toks) AS token,
+               generate_subscripts(toks, 1) AS pos FROM tok_lists) e
+  LEFT JOIN types_dim d USING (token)
+)
+GROUP BY conv_id""",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        types_values_sql(),
+    )
+
+
+def requalified_keys_sql() -> str:
+    from .operators.text_analysis import QUALIFIER_WORDS
+
+    quals = "[" + ", ".join(f"'{w}'" for w in QUALIFIER_WORDS) + "]"
+    return _assemble(
+        f"""SELECT conv_id, 'requal' AS src,
+       md5(array_to_string(toks[idx:len(toks)] || toks[1:idx-1], ' ')) AS block_key
+FROM (
+  SELECT conv_id, toks,
+         coalesce(
+           list_filter(
+             list_transform(toks, (t, i) -> CASE WHEN NOT list_contains({quals}, t) THEN i END),
+             x -> x IS NOT NULL)[1],
+           len(toks) + 1) AS idx
+  FROM tok_lists
+)""",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+    )
+
+
 def cluster_summary_sql() -> str:
     return _assemble(
         """SELECT cluster_id,

@@ -205,6 +205,20 @@ def dedup_dropped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dropped_buckets(_docs(spark, sf_dir))
 
 
+def er_type_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5/B6: broadcast type-dictionary join -> (name key, typed set) split."""
+    from .operators.types import type_split
+
+    return type_split(_profiles(spark, sf_dir))
+
+
+def er_requalified_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: qualifier-position-canonical blocking keys."""
+    from .operators.types import requalified_key
+
+    return requalified_key(_profiles(spark, sf_dir))
+
+
 def er_parse_udtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TVF surface (S1 analog): serialize conversations, re-parse via UDTF."""
     from .operators.parse_udtf import parse_transcripts, serialize_convs
