@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q.dedup_minhash_lsh,
         "dedup_simhash": q.dedup_simhash,
         "dedup_ngram_jaccard": q.dedup_ngram_jaccard,
+        "dedup_embedding": q.dedup_embedding,
         "text_quality": q.text_quality,
         "text_langid": q.text_langid,
         "text_token_counts": q.text_token_counts,
@@ -90,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oracle_docs.dedup_minhash_lsh_sql(),
         "dedup_simhash": oracle_docs.dedup_simhash_sql(),
         "dedup_ngram_jaccard": oracle_docs.dedup_ngram_jaccard_sql(),
+        "dedup_embedding": oracle_docs.embedding_dup_sql(dim=64),
         "text_quality": oracle_docs.text_quality_sql(),
         "text_langid": oracle_docs.text_langid_sql(),
         "text_token_counts": oracle_docs.token_counts_sql(),

@@ -127,6 +127,93 @@ def lsh_buckets_col(
     return F.array(*keys)
 
 
+EMB_COSINE_DUP = 0.9
+EMB_MAX_BUCKET = 200
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = EMB_COSINE_DUP,
+    n_tables: int = LSH_TABLES,
+    bits_per_table: int = LSH_BITS_PER_TABLE,
+    max_bucket: int = EMB_MAX_BUCKET,
+) -> DataFrame:
+    """(vec_id_a, vec_id_b, cosine, is_dup): embedding-cosine near-dup dedup.
+
+    The fifth dedup family (exact / MinHash / SimHash / n-gram Jaccard /
+    embedding cosine): ALL-PAIRS near-duplicates, not a per-query top-k —
+    candidates come from the multi-table sign-LSH buckets (same precomputed
+    literal hyperplanes as :func:`lsh_topk`), oversized buckets are capped
+    (cap + never silent: :func:`embedding_dropped_buckets`), and the exact
+    cosine re-rank inside buckets decides ``is_dup``. At 10^9 vectors the
+    bucket self-join is the only quadratic step and it is bounded by
+    ``max_bucket**2`` per bucket.
+    """
+    e = _as_double(embeddings).select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            lsh_buckets_col(F.col("embedding"), dim, n_tables, bits_per_table)
+        ).alias("bucket"),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    kept = e.join(sizes.filter(F.col("n") <= max_bucket), "bucket", "left_semi")
+    a = kept.select("bucket", F.col("vec_id").alias("vec_id_a"))
+    b = kept.select("bucket", F.col("vec_id").alias("vec_id_b"))
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    emb = _as_double(embeddings).select("vec_id", "embedding")
+    j = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a")),
+            "vec_id_a",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b")),
+            "vec_id_b",
+        )
+    )
+    cos = F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6)
+    return j.select(
+        "vec_id_a",
+        "vec_id_b",
+        cos.alias("cosine"),
+        (cos >= threshold).alias("is_dup"),
+    )
+
+
+def embedding_dropped_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_tables: int = LSH_TABLES,
+    bits_per_table: int = LSH_BITS_PER_TABLE,
+    max_bucket: int = EMB_MAX_BUCKET,
+) -> DataFrame:
+    """(bucket, bucket_n, pairs_dropped): capped embedding-LSH buckets."""
+    e = _as_double(embeddings).select(
+        "vec_id",
+        F.explode(
+            lsh_buckets_col(F.col("embedding"), dim, n_tables, bits_per_table)
+        ).alias("bucket"),
+    )
+    sizes = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
+    return sizes.filter(F.col("bucket_n") > max_bucket).select(
+        "bucket",
+        "bucket_n",
+        ((F.col("bucket_n") * (F.col("bucket_n") - 1)) / 2)
+        .cast("bigint")
+        .alias("pairs_dropped"),
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     dim: int,

@@ -399,3 +399,46 @@ def dropped_buckets_sql() -> str:
         _SIMHASH_CTE,
         f"sh_buckets AS (\n  {band_selects}\n)",
     )
+
+
+def embedding_dup_sql(dim: int) -> str:
+    from .operators.ann import EMB_COSINE_DUP, EMB_MAX_BUCKET
+
+    n_planes = LSH_TABLES * LSH_BITS_PER_TABLE
+    planes = ", ".join(
+        f"list_transform(range(0, {dim}), d -> CASE WHEN substr(md5('{p}' || '|' || CAST(d AS STRING)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)"
+        for p in range(n_planes)
+    )
+    table_keys = ", ".join(
+        "'t{t}|' || ".format(t=t)
+        + " || ".join(
+            f"(CASE WHEN list_dot_product(emb, planes[{t * LSH_BITS_PER_TABLE + j + 1}]) >= 0 THEN '1' ELSE '0' END)"
+            for j in range(LSH_BITS_PER_TABLE)
+        )
+        for t in range(LSH_TABLES)
+    )
+    cos = """
+round(CASE WHEN sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)) = 0 THEN 0.0
+      ELSE list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) END, 6)
+"""
+    return f"""WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, [{planes}] AS planes FROM embeddings
+),
+eb AS (
+  SELECT vec_id, unnest([{table_keys}]) AS bucket FROM e0
+),
+bucket_n AS (SELECT bucket, count(*) AS n FROM eb GROUP BY bucket),
+kept AS (
+  SELECT eb.vec_id, eb.bucket FROM eb
+  JOIN bucket_n s USING (bucket) WHERE s.n <= {EMB_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM kept a JOIN kept b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.vec_id_a, c.vec_id_b, {cos} AS cosine, {cos} >= {EMB_COSINE_DUP} AS is_dup
+FROM cand c
+JOIN e0 a ON a.vec_id = c.vec_id_a
+JOIN e0 b ON b.vec_id = c.vec_id_b"""

@@ -138,6 +138,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_embeddings(spark, sf_dir))
 
 
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth dedup family: embedding-cosine near-dups via LSH buckets."""
+    from .operators.ann import embedding_dup_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    dim = len(emb.select("embedding").first()["embedding"])
+    return embedding_dup_pairs(emb, dim=dim)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import lsh_topk
 
