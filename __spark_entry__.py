@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q.ann_lsh_topk,
         "er_dropped_blocks": q.er_dropped_blocks,
         "er_substring_block": q.er_substring_block,
+        "er_hot_index_keys": q.er_hot_index_keys,
         "er_synonym_blocks": q.er_synonym_blocks,
         "er_choose_candidate": q.er_choose_candidate,
         "er_type_split": q.er_type_split,
@@ -70,6 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sessionize": queries_tpch.rel_sessionize,
         "rel_pivot": queries_tpch.rel_pivot,
         "rel_rollup": queries_tpch.rel_rollup,
+        "rel_salted_rollup": queries_tpch.rel_salted_rollup,
+        "rel_grouping_sets": queries_tpch.rel_grouping_sets,
+        "rel_percentiles": queries_tpch.rel_percentiles,
+        "rel_range_window": queries_tpch.rel_range_window,
     }
 
 
@@ -100,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": oracle_docs.ann_lsh_topk_sql(dim=64),
         "er_dropped_blocks": oracle.dropped_blocks_sql(),
         "er_substring_block": oracle.substring_block_sql(),
+        "er_hot_index_keys": oracle.hot_index_keys_sql(),
         "er_synonym_blocks": oracle.synonym_blocks_sql(),
         "er_choose_candidate": oracle.choose_candidate_sql(),
         "er_type_split": oracle.type_split_sql(),

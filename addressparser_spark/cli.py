@@ -33,6 +33,12 @@ def _cmd_package(args: argparse.Namespace) -> None:
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, repo_root))
     print(args.out)
+    jar = os.path.join(pkg_root, "jars", "jw-udf.jar")
+    if os.path.exists(jar):
+        # the JVM scoring kernels ride --jars (a --py-files zip is not on the
+        # JVM classpath); without it the engine silently uses the
+        # value-identical Catalyst/pandas fallbacks
+        print(f"hint: add --jars {jar} for the JVM scoring kernels", file=sys.stderr)
 
 
 def _cmd_link(args: argparse.Namespace) -> None:

@@ -373,6 +373,16 @@ WHERE contains(pa.concat_text, pb.anchor) OR contains(pb.concat_text, pa.anchor)
     )
 
 
+def hot_index_keys_sql() -> str:
+    return _assemble(
+        f"""SELECT s AS key, CAST(count(*) AS BIGINT) AS df
+FROM conv_shingles GROUP BY s HAVING count(*) > {RARE_DF_CAP}""",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+    )
+
+
 def synonym_blocks_sql() -> str:
     case = synonym_case_sql("t")
     return _assemble(

@@ -167,3 +167,37 @@ FROM documents
 
 ALL["rel_window_running"] = REL_WINDOW_RUNNING
 ALL["text_extract_struct"] = TEXT_EXTRACT_STRUCT
+
+REL_SALTED_ROLLUP = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+ALL["rel_salted_rollup"] = REL_SALTED_ROLLUP
+
+REL_GROUPING_SETS = """
+SELECT c_mktsegment, c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+"""
+
+REL_PERCENTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders GROUP BY o_orderpriority
+"""
+
+REL_RANGE_WINDOW = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW), 2) AS trailing_10m
+FROM events
+"""
+
+ALL["rel_grouping_sets"] = REL_GROUPING_SETS
+ALL["rel_percentiles"] = REL_PERCENTILES
+ALL["rel_range_window"] = REL_RANGE_WINDOW

@@ -187,6 +187,13 @@ def er_substring_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_pairs(_profiles(spark, sf_dir))
 
 
+def er_hot_index_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index entries the df cap skipped (never silent)."""
+    from .operators.substring_join import hot_keys
+
+    return hot_keys(_profiles(spark, sf_dir))
+
+
 def er_synonym_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: synonym-canonical blocking keys from the broadcast dictionary."""
     return blocking.synonym_blocks(_profiles(spark, sf_dir))

@@ -228,3 +228,69 @@ def text_extract_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(first_word == "", None).otherwise(first_word).alias("first_long_word"),
         n_sents.alias("n_sentences"),
     )
+
+
+def rel_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation, value-identical to a plain GROUP BY.
+
+    Runs the explicit salted aggregate (``operators/salting.py``) over the
+    events table — the hot-key shape the north rule calls out — while the
+    oracle is the PLAIN ``GROUP BY``: the driver's exact value-hash is the
+    proof that salting never changes results, only the shuffle layout.
+    """
+    from .operators.salting import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["user_id"],
+        "event_id",
+        {"n_events": F.count(F.lit(1)), "total_value": F.sum("value")},
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregation (multi-granularity rollup in one pass)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               count(*) AS n,
+               round(sum(c_acctbal), 2) AS bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (order-statistics family)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+def rel_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window: per-user 10-minute trailing sum over event time."""
+    ev = _t(spark, sf_dir, "events")
+    # microsecond-precision ordering: casting ts to long truncates to whole
+    # seconds, which both merges sub-second peers and shifts the frame edge
+    # relative to an INTERVAL-based oracle
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_10m"),
+    )
