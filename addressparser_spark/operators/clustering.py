@@ -68,6 +68,12 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
 def _checkpoint(
     spark: SparkSession, df: DataFrame, checkpoint_dir: str | None, it: int
 ) -> DataFrame:
+    # localCheckpoint is LOAD-BEARING, not an optimization knob: each star
+    # round references its input in several subtrees (self-join + union), so
+    # without lineage TRUNCATION the logical plan roughly triples per
+    # iteration and the analyzer/optimizer hangs by iteration ~4. persist()
+    # alone does NOT truncate (caching is a physical-plan concern; the
+    # optimizer still walks the full tree) — measured, do not "simplify".
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
     path = os.path.join(checkpoint_dir, f"iter_{it:03d}")
