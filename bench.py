@@ -48,6 +48,8 @@ HEADLINE = [
     "er_block_table",
     "er_scored_pairs",
     "er_linkage_clusters",
+    "er_substring_block",
+    "er_choose_candidate",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -90,6 +90,29 @@ def test_jvm_matches_python_unicode(spark):
         assert got[(a, b)] == jaro_winkler_py(a, b), (a, b)
 
 
+def test_intersect_kernel_matches_catalyst(spark):
+    """Merge-walk intersect == size(array_intersect) on random sorted sets."""
+    from addressparser_spark.session import INTERSECT_FUNC
+
+    rng = random.Random(13)
+    rows = []
+    for _ in range(300):
+        a = sorted({rng.randint(-2**62, 2**62) for _ in range(rng.randint(0, 40))})
+        # overlap-biased second set: half drawn from a, half fresh
+        b = sorted(
+            {x for x in a if rng.random() < 0.5}
+            | {rng.randint(-2**62, 2**62) for _ in range(rng.randint(0, 40))}
+        )
+        rows.append((a, b))
+    rows += [([], []), ([], [1]), ([1, 2, 3], [1, 2, 3])]
+    df = spark.createDataFrame(rows, "a array<bigint>, b array<bigint>")
+    bad = df.select(
+        F.call_function(INTERSECT_FUNC, "a", "b").alias("jvm"),
+        F.size(F.array_intersect("a", "b")).alias("cat"),
+    ).filter(F.col("jvm") != F.col("cat"))
+    assert bad.count() == 0
+
+
 def test_jvm_null_semantics(spark):
     assert register_jw(spark)
     df = spark.createDataFrame([("x", None), (None, None)], "a string, b string")
