@@ -42,12 +42,16 @@ def exact_edges(profiles: DataFrame) -> DataFrame:
 
 
 def heavy_pairs(profiles: DataFrame, num_hashes: int, rows_per_band: int,
-                max_block_size: int) -> DataFrame:
+                max_block_size: int, blocks: DataFrame | None = None) -> DataFrame:
     """Heavy stage candidates: prefix + MinHash keys only, same-sig pairs
-    dropped (the light stage already linked them)."""
-    blocks = blocking.block_table(profiles, num_hashes, rows_per_band).filter(
-        F.col("src") != "sig"
-    )
+    dropped (the light stage already linked them).
+
+    Pass ``blocks`` (a possibly-persisted full block table) to reuse the
+    MinHash computation across consumers instead of re-deriving it.
+    """
+    if blocks is None:
+        blocks = blocking.block_table(profiles, num_hashes, rows_per_band)
+    blocks = blocks.filter(F.col("src") != "sig")
     cand = pairs_op.candidate_pairs(blocks, max_block_size)
     sigs_a = profiles.select(F.col("conv_id").alias("conv_a"), F.col("sig").alias("_sig_a"))
     sigs_b = profiles.select(F.col("conv_id").alias("conv_b"), F.col("sig").alias("_sig_b"))

@@ -22,6 +22,21 @@ def _profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted full block table (sig + prefix + MinHash band keys).
+
+    Same plan-identity caching trick as ``_profiles``: every query that
+    rebuilds this exact plan hits one shared cache entry, so the MinHash
+    explode+agg — the most expensive blocking step — runs once per
+    session/sf, not once per query.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    return blocking.block_table(_profiles(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+
 def er_normalize_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = blocking.normalize_turns(transcripts_df(spark, sf_dir))
     return t.select("conv_id", "turn_idx", "role", "norm_text")
@@ -43,25 +58,26 @@ def er_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def er_block_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return blocking.block_table(_profiles(spark, sf_dir))
+    return _blocks(spark, sf_dir)
 
 
 def er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pairs_op.candidate_pairs(blocking.block_table(_profiles(spark, sf_dir)))
+    return pairs_op.candidate_pairs(_blocks(spark, sf_dir), persist=False)
 
 
 def er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _profiles(spark, sf_dir)
-    cand = pairs_op.candidate_pairs(blocking.block_table(p))
+    cand = pairs_op.candidate_pairs(_blocks(spark, sf_dir), persist=False)
     return scoring.score_pairs(cand, p, with_jw=True)
 
 
-def _funnel_clusters(p: DataFrame) -> DataFrame:
+def _funnel_clusters(p: DataFrame, blocks: DataFrame | None = None) -> DataFrame:
     """Light->heavy funnel clustering (oracle-equivalent to scoring all pairs;
     the parity gate proves it against the flat-SQL closure)."""
     from .plans.pipeline import exact_edges, heavy_pairs
 
-    cand = heavy_pairs(p, blocking.NUM_HASHES, blocking.ROWS_PER_BAND, pairs_op.MAX_BLOCK_SIZE)
+    cand = heavy_pairs(p, blocking.NUM_HASHES, blocking.ROWS_PER_BAND,
+                       pairs_op.MAX_BLOCK_SIZE, blocks=blocks)
     scored = scoring.score_pairs(cand, p, with_jw=False)
     edges = exact_edges(p).unionByName(scoring.matched_edges(scored))
     comp = connected_components(edges)
@@ -69,7 +85,7 @@ def _funnel_clusters(p: DataFrame) -> DataFrame:
 
 
 def er_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _funnel_clusters(_profiles(spark, sf_dir))
+    return _funnel_clusters(_profiles(spark, sf_dir), _blocks(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +179,7 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.resolve import resolve_entities
 
     p = _profiles(spark, sf_dir)
-    clusters = _funnel_clusters(p)
+    clusters = _funnel_clusters(p, _blocks(spark, sf_dir))
     return resolve_entities(clusters, p, registry=None)
 
 
@@ -172,10 +188,10 @@ def er_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.evaluate import labeled_pairs, pairwise_f1
 
     p = _profiles(spark, sf_dir)
-    clusters = _funnel_clusters(p)
+    clusters = _funnel_clusters(p, _blocks(spark, sf_dir))
     # labels stay defined over the FULL candidate-pair set (F1 "at the same
     # blocking key"), independent of the funnel shortcut
-    cand = pairs_op.candidate_pairs(blocking.block_table(p))
+    cand = pairs_op.candidate_pairs(_blocks(spark, sf_dir), persist=False)
     labels = labeled_pairs(cand, truth_df(spark, sf_dir))
     return pairwise_f1(clusters, labels)
 
@@ -202,7 +218,7 @@ def er_synonym_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def er_choose_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 proper: multi-feature ranking cascade — one composed row_number."""
     p = _profiles(spark, sf_dir)
-    cand = pairs_op.candidate_pairs(blocking.block_table(p))
+    cand = pairs_op.candidate_pairs(_blocks(spark, sf_dir), persist=False)
     scored = scoring.score_pairs(cand, p, with_jw=True)
     return scoring.choose_candidate(scored, p)
 
@@ -245,8 +261,7 @@ def er_parse_udtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def er_dropped_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-size-cap accounting (never silent): oversized blocks + dropped pairs."""
-    p = _profiles(spark, sf_dir)
-    _, dropped = pairs_op.capped_blocks(blocking.block_table(p))
+    _, dropped = pairs_op.capped_blocks(_blocks(spark, sf_dir))
     return dropped
 
 
@@ -254,7 +269,7 @@ def er_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Display-string builder (AddressStringBuilder analog): one row per
     cluster with sorted member list and size."""
     p = _profiles(spark, sf_dir)
-    clusters = _funnel_clusters(p)
+    clusters = _funnel_clusters(p, _blocks(spark, sf_dir))
     return clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.array_join(F.array_sort(F.collect_list("conv_id")), ", ").alias("members"),
