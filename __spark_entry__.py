@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from addressparser_spark import oracle, oracle_docs, oracle_tpch, queries as q
 from addressparser_spark import queries_tpch
+from addressparser_spark.operators.ann import EMB_DIM
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -96,13 +97,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oracle_docs.dedup_minhash_lsh_sql(),
         "dedup_simhash": oracle_docs.dedup_simhash_sql(),
         "dedup_ngram_jaccard": oracle_docs.dedup_ngram_jaccard_sql(),
-        "dedup_embedding": oracle_docs.embedding_dup_sql(dim=64),
+        "dedup_embedding": oracle_docs.embedding_dup_sql(dim=EMB_DIM),
         "text_quality": oracle_docs.text_quality_sql(),
         "text_langid": oracle_docs.text_langid_sql(),
         "text_token_counts": oracle_docs.token_counts_sql(),
         "text_fingerprints": oracle_docs.doc_fingerprints_sql(),
         "ann_cosine_topk": oracle_docs.ann_cosine_topk_sql(),
-        "ann_lsh_topk": oracle_docs.ann_lsh_topk_sql(dim=64),
+        "ann_lsh_topk": oracle_docs.ann_lsh_topk_sql(dim=EMB_DIM),
         "er_dropped_blocks": oracle.dropped_blocks_sql(),
         "er_substring_block": oracle.substring_block_sql(),
         "er_hot_index_keys": oracle.hot_index_keys_sql(),

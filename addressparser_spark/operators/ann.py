@@ -19,6 +19,13 @@ TOP_K = 5
 N_QUERIES = 10
 LSH_TABLES = 8
 LSH_BITS_PER_TABLE = 4
+# embedding dimensionality of the engine's test corpus. ONE constant shared
+# by the Spark queries and the DuckDB oracle wiring (so they cannot diverge);
+# callers with a different corpus pass dim explicitly. Kept as config, not
+# inferred with .first(): arrays carry no dim in the schema and a driver
+# action before the plan (or a crash on an empty table) is worse than a
+# parameter.
+EMB_DIM = 64
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -125,8 +125,13 @@ def score_pairs(
         j = j.withColumn(
             "ts", F.call_function(TEXTSIM_FUNC, F.col("text_a"), F.col("text_b"))
         )
+        # null alignment with the unfused paths: TextSim returns NULL for a
+        # null input (it cannot carry per-element nulls in double[]), while
+        # the standalone JaroWinkler kernel and the pandas fallback define
+        # jw(null) = 0.0 and LevSim defines lev_sim(null) = null — so jw is
+        # coalesced here and lev_sim is left null-propagating.
         j = j.withColumn("lev_sim", F.round(F.col("ts")[0], 6)).withColumn(
-            "jw", F.round(F.col("ts")[1], 6)
+            "jw", F.round(F.coalesce(F.col("ts")[1], F.lit(0.0)), 6)
         )
     elif use_jvm:
         j = j.withColumn(

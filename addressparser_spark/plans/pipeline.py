@@ -129,7 +129,10 @@ def run_linkage(
     blocks = blocking.block_table(profiles, num_hashes, rows_per_band)
     kept, dropped = pairs_op.capped_blocks(blocks, max_block_size)
     if escalate:
-        cand = heavy_pairs(profiles, num_hashes, rows_per_band, max_block_size)
+        # reuse the block table computed above: the MinHash sketch+explode is
+        # the most expensive blocking step and must run once per pipeline
+        cand = heavy_pairs(profiles, num_hashes, rows_per_band, max_block_size,
+                           blocks=blocks)
     else:
         cand = pairs_op.candidate_pairs(blocks, max_block_size)
     obs_pairs = Observation("pairs")

@@ -156,19 +156,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth dedup family: embedding-cosine near-dups via LSH buckets."""
-    from .operators.ann import embedding_dup_pairs
+    from .operators.ann import EMB_DIM, embedding_dup_pairs
 
-    emb = _embeddings(spark, sf_dir)
-    dim = len(emb.select("embedding").first()["embedding"])
-    return embedding_dup_pairs(emb, dim=dim)
+    return embedding_dup_pairs(_embeddings(spark, sf_dir), dim=EMB_DIM)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.ann import lsh_topk
+    from .operators.ann import EMB_DIM, lsh_topk
 
-    emb = _embeddings(spark, sf_dir)
-    dim = len(emb.select("embedding").first()["embedding"])
-    return lsh_topk(emb, dim=dim)
+    return lsh_topk(_embeddings(spark, sf_dir), dim=EMB_DIM)
 
 
 # ---------------------------------------------------------------------------

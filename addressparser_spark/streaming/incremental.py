@@ -45,7 +45,6 @@ from ..operators import blocking, pairs as pairs_op, scoring
 from ..operators.clustering import assign_clusters, connected_components
 from ..operators.resolve import (
     REGISTRY_SCHEMA,
-    merge_registry,
     registry_additions,
     resolve_entities,
 )
@@ -105,12 +104,18 @@ def _maybe_compact(spark: SparkSession, registry_dir: str, epoch_id: int) -> Non
         shutil.rmtree(base, ignore_errors=True)
 
 
-def link_batch(batch: DataFrame, registry: DataFrame) -> tuple[DataFrame, DataFrame]:
+def link_batch(
+    batch: DataFrame, registry: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run linkage on one micro-batch against the current registry.
 
-    Returns (resolved, new_registry). Registry lookup is the broadcast
-    reference-dictionary join; profile batches are micro-batch-sized, so the
-    scoring join uses the broadcast path.
+    Returns ``(resolved, additions, profiles)``. ``additions`` are the
+    O(batch) registry delta rows (see ``registry_additions``) — the streaming
+    writer appends them as a per-epoch delta, a batch caller folds them with
+    ``merge_registry``. ``profiles`` comes back cached; the caller must
+    ``unpersist()`` it once the epoch's actions have run. Registry lookup is
+    the broadcast reference-dictionary join; profile batches are
+    micro-batch-sized, so the scoring join uses the broadcast path.
     """
     profiles = blocking.conv_profiles(blocking.normalize_turns(batch)).cache()
     cand = pairs_op.candidate_pairs(blocking.block_table(profiles))
@@ -118,8 +123,8 @@ def link_batch(batch: DataFrame, registry: DataFrame) -> tuple[DataFrame, DataFr
     comp = connected_components(scoring.matched_edges(scored))
     clusters = assign_clusters(profiles, comp)
     resolved = resolve_entities(clusters, profiles, registry)
-    new_registry = merge_registry(resolved, profiles, registry)
-    return resolved, new_registry
+    additions = registry_additions(resolved, profiles, registry)
+    return resolved, additions, profiles
 
 
 def incremental_linkage(
@@ -138,21 +143,20 @@ def incremental_linkage(
         if batch.isEmpty():
             return
         registry = _load_registry(spark, registry_dir)
-        profiles = blocking.conv_profiles(blocking.normalize_turns(batch)).cache()
-        cand = pairs_op.candidate_pairs(blocking.block_table(profiles))
-        scored = scoring.score_pairs(cand, profiles, with_jw=False, broadcast_profiles=True)
-        comp = connected_components(scoring.matched_edges(scored))
-        clusters = assign_clusters(profiles, comp)
-        resolved = resolve_entities(clusters, profiles, registry)
-        # per-epoch overwrite => replaying an epoch after a crash rewrites
-        # the same dir instead of appending duplicates
-        resolved.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch_id}")
-        # registry: append ONLY this batch's additions (O(batch), idempotent)
-        additions = registry_additions(resolved, profiles, registry)
-        additions.write.mode("overwrite").parquet(
-            os.path.join(registry_dir, f"delta_epoch={epoch_id}")
-        )
-        _maybe_compact(spark, registry_dir, epoch_id)
+        resolved, additions, profiles = link_batch(batch, registry)
+        # unpersist in finally: a long-running stream otherwise accumulates
+        # one cached profile frame per epoch in the block manager
+        try:
+            # per-epoch overwrite => replaying an epoch after a crash rewrites
+            # the same dir instead of appending duplicates
+            resolved.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch_id}")
+            # registry: append ONLY this batch's additions (O(batch), idempotent)
+            additions.write.mode("overwrite").parquet(
+                os.path.join(registry_dir, f"delta_epoch={epoch_id}")
+            )
+            _maybe_compact(spark, registry_dir, epoch_id)
+        finally:
+            profiles.unpersist()
 
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)

@@ -49,8 +49,13 @@ def _fold_sessions(
         last_ts_us, sess_idx, n_events, session_value = None, 0, 0, 0.0
 
     closed: list[tuple[int, int, int, float]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # materialize the WHOLE group before sorting: one micro-batch group
+    # arrives as multiple Arrow chunks when it exceeds the batch size, and
+    # chunks are not globally ordered — sorting per chunk and folding in
+    # arrival order would split sessions at chunk boundaries
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for ts, value in zip(pdf["ts"], pdf["value"]):
             ts_us = int(ts.value // 1_000)  # pandas ns -> us
             if last_ts_us is not None and ts_us - last_ts_us > gap_us:

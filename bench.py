@@ -178,11 +178,12 @@ def _run_scaling() -> dict:
     the 4N config) and bursts can span many minutes. Mixing a clean N
     sample with a burst-degraded 4N sample (global min per config) then
     *understates* efficiency — so each round runs N and 4N back-to-back
-    under the same ambient conditions and computes its own ratio; the
-    reported numbers are the best round's (both throughputs from that ONE
-    round), with every round's efficiency listed for transparency.
+    under the same ambient conditions and computes its own ratio. The
+    HEADLINE is the MEDIAN round (both throughputs come from that one
+    round), robust to a single burst in either direction; every round's
+    efficiency plus the best round's are listed for transparency.
     """
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     n, n4 = SCALING_CORES
     rounds = []
     for _ in range(repeats):
@@ -194,17 +195,20 @@ def _run_scaling() -> dict:
             "n": rn, "n4": rn4,
             "eff": round(thr_n4 / (thr_n * (n4 / n)), 3),
         })
-    best = max(rounds, key=lambda r: r["eff"])
-    thr_n = best["n"]["pairs"] / best["n"]["sec"]
-    thr_n4 = best["n4"]["pairs"] / best["n4"]["sec"]
+    by_eff = sorted(rounds, key=lambda r: r["eff"])
+    median = by_eff[len(by_eff) // 2]  # upper-middle when even: 1 burst of 2
+    thr_n = median["n"]["pairs"] / median["n"]["sec"]
+    thr_n4 = median["n4"]["pairs"] / median["n4"]["sec"]
     return {
         "input_convs": BENCH_CONVS,
-        "pairs_scored": best["n4"]["pairs"],
-        f"local{n}_sec": best["n"]["sec"],
-        f"local{n4}_sec": best["n4"]["sec"],
+        "pairs_scored": median["n4"]["pairs"],
+        f"local{n}_sec": median["n"]["sec"],
+        f"local{n4}_sec": median["n4"]["sec"],
         f"local{n}_pairs_per_sec": round(thr_n, 1),
         f"local{n4}_pairs_per_sec": round(thr_n4, 1),
-        "scaling_efficiency": best["eff"],
+        "scaling_efficiency": median["eff"],
+        "scaling_policy": "median-round",
+        "best_round_efficiency": by_eff[-1]["eff"],
         "round_efficiencies": [r["eff"] for r in rounds],
     }
 

@@ -120,6 +120,26 @@ def test_jvm_null_semantics(spark):
     assert [r["jw"] for r in rows] == [0.0, 0.0]
 
 
+def test_fused_kernel_null_parity(spark):
+    """The fused TextSim extraction convention (scoring.py) must agree with
+    the standalone kernels on nulls: lev_sim(null)=null, jw(null)=0.0."""
+    from addressparser_spark.session import LEVSIM_FUNC, TEXTSIM_FUNC
+
+    assert register_jw(spark)
+    df = spark.createDataFrame(
+        [("x", None), (None, None), ("ab", "ba"), ("", "")], "a string, b string"
+    ).withColumn("ts", F.call_function(TEXTSIM_FUNC, "a", "b"))
+    rows = df.select(
+        F.col("ts")[0].alias("lev_fused"),
+        F.coalesce(F.col("ts")[1], F.lit(0.0)).alias("jw_fused"),
+        F.call_function(LEVSIM_FUNC, "a", "b").alias("lev_solo"),
+        F.call_function(JW_FUNC, "a", "b").alias("jw_solo"),
+    ).collect()
+    for r in rows:
+        assert r["lev_fused"] == r["lev_solo"], r
+        assert r["jw_fused"] == r["jw_solo"], r
+
+
 def test_score_pairs_uses_jvm_path(spark):
     """The scoring plan must contain no Python/Arrow eval when the jar is loaded."""
     from addressparser_spark.data.transcripts import transcripts_df
