@@ -33,6 +33,64 @@ def _batch_sessions(ev):
     )
 
 
+def test_event_time_timeout_flushes_trailing_session(spark, tmp_path):
+    """The timeout variant emits a user's FINAL session with no sentinel
+    event for that user — the watermark alone proves the gap."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows, name):
+        df = spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+        )
+        d = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(d)
+        shutil.copy(
+            glob.glob(f"{d}/part-*.parquet")[0], f"{tmp_path}/in/{name}.parquet"
+        )
+
+    os.makedirs(str(tmp_path / "in"), exist_ok=True)
+    # b0: user 1's only-ever events (an open 2-event session) + a user-2 event
+    mk([(1, 1, t0, 1.5), (1, 2, t0 + dt.timedelta(seconds=60), 2.0),
+        (2, 3, t0, 5.0)], "b0")
+    # b1/b2: only user 2 — each advances the watermark past user 1's
+    # last_event + gap, so user 1's trailing session must flush by timeout
+    mk([(2, 4, t0 + dt.timedelta(hours=2), 1.0)], "b1")
+    mk([(2, 5, t0 + dt.timedelta(hours=3), 1.0)], "b2")
+
+    stream = (
+        spark.readStream.schema("user_id bigint, event_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    q = (
+        sessionize_stream(stream, event_time_timeout=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("timeout_sessions")
+        .option("checkpointLocation", str(tmp_path / "ck_timeout"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    got = {
+        (r["user_id"], r["sess_idx"]): (r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM timeout_sessions").collect()
+    }
+    # user 1: trailing session emitted BY TIMEOUT alone (no later user-1 event)
+    # user 2: sessions 0 and 1 closed by later events; session 2 still open
+    #         (watermark hasn't passed its last_event + gap)
+    assert got == {
+        (1, 0): (2, 3.5),
+        (2, 0): (1, 5.0),
+        (2, 1): (1, 1.0),
+    }
+
+
 def test_stateful_sessions_match_batch(spark, sf_dir, tmp_path):
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
