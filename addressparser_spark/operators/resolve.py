@@ -21,6 +21,13 @@ from pyspark.sql import functions as F
 
 REGISTRY_SCHEMA = "entity_id string, rep_conv_id string, sig string"
 
+# extended registry for the multi-stage cascade: any key column may be NULL
+# (a registry entry known only at a weaker key strength)
+CASCADE_REGISTRY_SCHEMA = (
+    "entity_id string, rep_conv_id string, sig string, prefix_key string, "
+    "syn_key string"
+)
+
 
 def cluster_representatives(clusters: DataFrame, profiles: DataFrame) -> DataFrame:
     """(cluster_id, rep_conv_id, sig): one row per cluster.
@@ -68,6 +75,108 @@ def resolve_entities(
     )
     return clusters.join(resolved, "cluster_id").select(
         "conv_id", "cluster_id", "entity_id"
+    )
+
+
+def profile_keys(profiles: DataFrame) -> DataFrame:
+    """(conv_id, sig, prefix_key, syn_key): the three cascade key strengths.
+
+    ``syn_key`` is the synonym-canonical signature (same expression as the
+    'syn' blocking family) — the weakest key: two texts differing only by
+    dictionary variants share it.
+    """
+    from .blocking import canonical_tokens_col
+
+    return profiles.select(
+        "conv_id",
+        "sig",
+        "prefix_key",
+        F.md5(F.array_join(canonical_tokens_col(F.col("tokens")), " ")).alias(
+            "syn_key"
+        ),
+    )
+
+
+def resolve_cascade(
+    clusters: DataFrame, profiles: DataFrame, registry: DataFrame
+) -> DataFrame:
+    """(conv_id, cluster_id, entity_id, resolve_stage): multi-stage resolve.
+
+    The reference resolves against a partially-populated registry by
+    retrying at progressively weaker key strengths before giving up
+    (majorness loop ``top = 4 -> 1`` with shrinking-suffix re-parses,
+    ``AddressParser/Core/Parser.cs:867-936`` driving
+    ``Db/DataContextBase_Address.cs:131-173``). Spark-first re-expression:
+    three broadcast left joins — (sig) -> (prefix_key) -> (syn_key) — and a
+    single ``coalesce`` picks the strongest hit; only a full miss mints a
+    new deterministic id. ``resolve_stage`` records which stage fired
+    ('sig' | 'prefix' | 'synonym' | 'new') so the funnel is observable.
+
+    Each stage side is deduplicated to one entity per key (min entity_id,
+    deterministic first-match) — a registry with key collisions can never
+    fan out the join.
+    """
+    keys = profile_keys(profiles).withColumnRenamed("conv_id", "cluster_id")
+    reps = clusters.select("cluster_id").distinct().join(keys, "cluster_id", "left")
+    s1 = (
+        registry.filter(F.col("sig").isNotNull())
+        .groupBy("sig")
+        .agg(F.min("entity_id").alias("e_sig"))
+    )
+    s2 = (
+        registry.filter(F.col("prefix_key").isNotNull())
+        .groupBy("prefix_key")
+        .agg(F.min("entity_id").alias("e_prefix"))
+    )
+    s3 = (
+        registry.filter(F.col("syn_key").isNotNull())
+        .groupBy("syn_key")
+        .agg(F.min("entity_id").alias("e_syn"))
+    )
+    m = (
+        reps.join(F.broadcast(s1), "sig", "left")
+        .join(F.broadcast(s2), "prefix_key", "left")
+        .join(F.broadcast(s3), "syn_key", "left")
+    )
+    resolved = m.select(
+        "cluster_id",
+        F.coalesce(
+            "e_sig",
+            "e_prefix",
+            "e_syn",
+            F.md5(F.concat(F.lit("entity|"), F.col("sig"))),
+        ).alias("entity_id"),
+        F.when(F.col("e_sig").isNotNull(), "sig")
+        .when(F.col("e_prefix").isNotNull(), "prefix")
+        .when(F.col("e_syn").isNotNull(), "synonym")
+        .otherwise("new")
+        .alias("resolve_stage"),
+    )
+    return clusters.join(resolved, "cluster_id").select(
+        "conv_id", "cluster_id", "entity_id", "resolve_stage"
+    )
+
+
+def demo_registry(profiles: DataFrame) -> DataFrame:
+    """Deterministic partially-populated registry derived from the data.
+
+    Buckets conversations by the first hex char of ``md5(conv_id)``:
+    '0'-'3' are registered at full signature strength, '4'-'7' only at
+    prefix strength, '8'-'b' only at synonym strength, 'c'-'f' are absent.
+    Gives the cascade real work at every stage with zero external state —
+    the DuckDB oracle rebuilds the identical registry from the same parquet.
+    """
+    k = profile_keys(profiles).withColumn(
+        "h", F.substring(F.md5(F.col("conv_id")), 1, 1)
+    )
+    return k.filter(F.col("h") <= "b").select(
+        F.md5(F.concat(F.lit("reg|"), F.col("conv_id"))).alias("entity_id"),
+        F.col("conv_id").alias("rep_conv_id"),
+        F.when(F.col("h") <= "3", F.col("sig")).alias("sig"),
+        F.when((F.col("h") >= "4") & (F.col("h") <= "7"), F.col("prefix_key")).alias(
+            "prefix_key"
+        ),
+        F.when(F.col("h") >= "8", F.col("syn_key")).alias("syn_key"),
     )
 
 

@@ -261,6 +261,62 @@ FROM clusters c JOIN profiles p ON p.conv_id = c.cluster_id""",
     )
 
 
+def resolve_cascade_sql() -> str:
+    """Multi-stage resolve cascade vs the deterministic demo registry.
+
+    Mirrors ``operators/resolve.py::resolve_cascade`` + ``demo_registry``:
+    buckets by the first hex char of md5(conv_id) decide the key strength a
+    registry entry is known at; each stage dedupes to min(entity_id) per key;
+    coalesce picks the strongest hit, else a new deterministic id.
+    """
+    case = synonym_case_sql("t")
+    return _assemble(
+        """SELECT c.conv_id, c.cluster_id, m.entity_id, m.resolve_stage
+FROM exact_clusters c JOIN m USING (cluster_id)""",
+        NORM_TURNS_CTE,
+        PROFILES_CTE,
+        SHINGLES_CTE,
+        f"""syn_keys AS (
+  SELECT conv_id, md5(array_to_string(list_transform(toks, t -> {case}), ' ')) AS syn_key
+  FROM tok_lists
+),
+pkeys AS (
+  SELECT p.conv_id, p.sig, p.prefix_key, s.syn_key
+  FROM profiles p JOIN syn_keys s USING (conv_id)
+),
+registry AS (
+  SELECT md5('reg|' || conv_id) AS entity_id,
+         CASE WHEN substr(md5(conv_id), 1, 1) <= '3' THEN sig END AS sig,
+         CASE WHEN substr(md5(conv_id), 1, 1) BETWEEN '4' AND '7' THEN prefix_key END AS prefix_key,
+         CASE WHEN substr(md5(conv_id), 1, 1) >= '8' THEN syn_key END AS syn_key
+  FROM pkeys WHERE substr(md5(conv_id), 1, 1) <= 'b'
+),
+exact_clusters AS (
+  SELECT conv_id, min(conv_id) OVER (PARTITION BY sig) AS cluster_id FROM profiles
+),
+rk AS (
+  SELECT r.cluster_id, k.sig, k.prefix_key, k.syn_key
+  FROM (SELECT DISTINCT cluster_id FROM exact_clusters) r
+  JOIN pkeys k ON k.conv_id = r.cluster_id
+),
+s1 AS (SELECT sig, min(entity_id) AS e_sig FROM registry WHERE sig IS NOT NULL GROUP BY sig),
+s2 AS (SELECT prefix_key, min(entity_id) AS e_prefix FROM registry WHERE prefix_key IS NOT NULL GROUP BY prefix_key),
+s3 AS (SELECT syn_key, min(entity_id) AS e_syn FROM registry WHERE syn_key IS NOT NULL GROUP BY syn_key),
+m AS (
+  SELECT rk.cluster_id,
+         coalesce(s1.e_sig, s2.e_prefix, s3.e_syn, md5('entity|' || rk.sig)) AS entity_id,
+         CASE WHEN s1.e_sig IS NOT NULL THEN 'sig'
+              WHEN s2.e_prefix IS NOT NULL THEN 'prefix'
+              WHEN s3.e_syn IS NOT NULL THEN 'synonym'
+              ELSE 'new' END AS resolve_stage
+  FROM rk
+  LEFT JOIN s1 USING (sig)
+  LEFT JOIN s2 USING (prefix_key)
+  LEFT JOIN s3 USING (syn_key)
+)""",
+    )
+
+
 EVAL_CTE = """
 labels AS (
   SELECT conv_a, conv_b,

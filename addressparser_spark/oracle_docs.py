@@ -401,9 +401,9 @@ def dropped_buckets_sql() -> str:
     )
 
 
-def embedding_dup_sql(dim: int) -> str:
-    from .operators.ann import EMB_COSINE_DUP, EMB_MAX_BUCKET
-
+def _emb_bucket_ctes(dim: int) -> str:
+    """e0 + eb + bucket_n CTE text shared by the embedding dedup oracle and
+    its dropped-buckets accounting twin (identical plane/bucket math)."""
     n_planes = LSH_TABLES * LSH_BITS_PER_TABLE
     planes = ", ".join(
         f"list_transform(range(0, {dim}), d -> CASE WHEN substr(md5('{p}' || '|' || CAST(d AS STRING)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)"
@@ -417,18 +417,32 @@ def embedding_dup_sql(dim: int) -> str:
         )
         for t in range(LSH_TABLES)
     )
-    cos = """
-round(CASE WHEN sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)) = 0 THEN 0.0
-      ELSE list_dot_product(a.emb, b.emb)
-           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) END, 6)
-"""
-    return f"""WITH e0 AS (
+    return f"""e0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, [{planes}] AS planes FROM embeddings
 ),
 eb AS (
   SELECT vec_id, unnest([{table_keys}]) AS bucket FROM e0
 ),
-bucket_n AS (SELECT bucket, count(*) AS n FROM eb GROUP BY bucket),
+bucket_n AS (SELECT bucket, count(*) AS n FROM eb GROUP BY bucket)"""
+
+
+def embedding_dropped_sql(dim: int) -> str:
+    from .operators.ann import EMB_MAX_BUCKET
+
+    return f"""WITH {_emb_bucket_ctes(dim)}
+SELECT bucket, CAST(n AS BIGINT) AS bucket_n, CAST(n * (n - 1) / 2 AS BIGINT) AS pairs_dropped
+FROM bucket_n WHERE n > {EMB_MAX_BUCKET}"""
+
+
+def embedding_dup_sql(dim: int) -> str:
+    from .operators.ann import EMB_COSINE_DUP, EMB_MAX_BUCKET
+
+    cos = """
+round(CASE WHEN sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)) = 0 THEN 0.0
+      ELSE list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) END, 6)
+"""
+    return f"""WITH {_emb_bucket_ctes(dim)},
 kept AS (
   SELECT eb.vec_id, eb.bucket FROM eb
   JOIN bucket_n s USING (bucket) WHERE s.n <= {EMB_MAX_BUCKET}
@@ -442,3 +456,29 @@ SELECT c.vec_id_a, c.vec_id_b, {cos} AS cosine, {cos} >= {EMB_COSINE_DUP} AS is_
 FROM cand c
 JOIN e0 a ON a.vec_id = c.vec_id_a
 JOIN e0 b ON b.vec_id = c.vec_id_b"""
+
+
+def cap_accounting_sql(dim: int) -> str:
+    """Unified never-silent cap accounting across all four capped surfaces.
+
+    One row per key a quadratic-bounding cap dropped or skipped, tagged by
+    ``family``: ER block-size cap, both doc-sketch bucket caps, the
+    substring-index df cap, and the embedding-LSH bucket cap. Each branch
+    wraps the standalone oracle of its family, so the merged query can never
+    drift from the per-family SQL.
+    """
+    from . import oracle
+
+    return f"""SELECT 'block_cap' AS family, block_key AS key,
+       block_n AS group_n, pairs_dropped
+FROM ({oracle.dropped_blocks_sql()})
+UNION ALL
+SELECT family, bucket AS key, bucket_n AS group_n, pairs_dropped
+FROM ({dropped_buckets_sql()})
+UNION ALL
+SELECT 'substring_df' AS family, key, df AS group_n,
+       CAST(df * (df - 1) / 2 AS BIGINT) AS pairs_dropped
+FROM ({oracle.hot_index_keys_sql()})
+UNION ALL
+SELECT 'embedding_lsh' AS family, bucket AS key, bucket_n AS group_n, pairs_dropped
+FROM ({embedding_dropped_sql(dim)})"""

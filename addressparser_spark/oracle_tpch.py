@@ -198,6 +198,18 @@ SELECT user_id, event_id,
 FROM events
 """
 
+REL_WINDOW_FRAMES = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+       round(value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 2) AS delta,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW), 2) AS trailing_10m
+FROM events
+"""
+
 ALL["rel_grouping_sets"] = REL_GROUPING_SETS
 ALL["rel_percentiles"] = REL_PERCENTILES
 ALL["rel_range_window"] = REL_RANGE_WINDOW
+ALL["rel_window_frames"] = REL_WINDOW_FRAMES

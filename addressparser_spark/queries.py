@@ -261,6 +261,58 @@ def er_dropped_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dropped
 
 
+def er_resolve_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/G3 proper: multi-stage resolve against a partially-known registry.
+
+    The registry is a deterministic derivation of the data (``demo_registry``)
+    so every cascade stage — sig hit, prefix fallback, synonym fallback, new
+    id — fires on real rows and the driver's value hash proves stage
+    assignment, not just row counts.
+    """
+    from .operators.resolve import demo_registry, resolve_cascade
+
+    p = _profiles(spark, sf_dir)
+    w = Window.partitionBy("sig")
+    clusters = p.select("conv_id", F.min("conv_id").over(w).alias("cluster_id"))
+    return resolve_cascade(clusters, p, demo_registry(p))
+
+
+def ops_cap_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified never-silent cap accounting: one row per dropped/skipped key
+    across all four capped quadratic surfaces (ER block cap, doc-sketch
+    bucket caps, substring df cap, embedding-LSH bucket cap)."""
+    from .operators.ann import EMB_DIM, embedding_dropped_buckets
+    from .operators.dedup import dropped_buckets
+    from .operators.substring_join import hot_keys
+
+    _, blocks_dropped = pairs_op.capped_blocks(_blocks(spark, sf_dir))
+    a = blocks_dropped.select(
+        F.lit("block_cap").alias("family"),
+        F.col("block_key").alias("key"),
+        F.col("block_n").alias("group_n"),
+        "pairs_dropped",
+    )
+    b = dropped_buckets(_docs(spark, sf_dir)).select(
+        "family",
+        F.col("bucket").alias("key"),
+        F.col("bucket_n").alias("group_n"),
+        "pairs_dropped",
+    )
+    c = hot_keys(_profiles(spark, sf_dir)).select(
+        F.lit("substring_df").alias("family"),
+        "key",
+        F.col("df").alias("group_n"),
+        ((F.col("df") * (F.col("df") - 1)) / 2).cast("bigint").alias("pairs_dropped"),
+    )
+    d = embedding_dropped_buckets(_embeddings(spark, sf_dir), dim=EMB_DIM).select(
+        F.lit("embedding_lsh").alias("family"),
+        F.col("bucket").alias("key"),
+        F.col("bucket_n").alias("group_n"),
+        "pairs_dropped",
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
+
+
 def er_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Display-string builder (AddressStringBuilder analog): one row per
     cluster with sorted member list and size."""

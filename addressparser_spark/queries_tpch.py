@@ -268,6 +268,35 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 combined: ROWS running aggregates + lag deltas + time-RANGE frame.
+
+    One pass over events exercises every frame type the engine supports:
+    unbounded-preceding ROWS sum, row_number, lag delta, and a 10-minute
+    trailing RANGE sum over event time — all sharing one partition-by-user
+    sort (a single window exchange in the plan).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    # microsecond-precision RANGE ordering: casting ts to long would truncate
+    # to whole seconds, merging sub-second peers and shifting the frame edge
+    # relative to an INTERVAL-based oracle
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(run), 2).alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias("delta"),
+        F.round(F.sum("value").over(wr), 2).alias("trailing_10m"),
+    )
+
+
 def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (order-statistics family)."""
     o = _t(spark, sf_dir, "orders")
