@@ -75,7 +75,11 @@ def _checkpoint(
     # alone does NOT truncate (caching is a physical-plan concern; the
     # optimizer still walks the full tree) — measured, do not "simplify".
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        # eager=False: the per-round fingerprint action (always the next
+        # statement) materializes the checkpoint, so each round costs ONE
+        # job, not two — at small edge volumes the loop is scheduling-latency
+        # bound, and this halves the sequential job count
+        return df.localCheckpoint(eager=False)
     path = os.path.join(checkpoint_dir, f"iter_{it:03d}")
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -115,7 +119,10 @@ def connected_components(
         if resumed is not None:
             e = resumed
 
-    prev_fp = _edge_fingerprint(e)
+    # No fingerprint of the INPUT: star rounds re-orient edges, so the round-0
+    # output never fingerprint-matches raw input anyway — convergence is
+    # detected as fp(round k) == fp(round k-1), saving one up-front job.
+    prev_fp: tuple[int, int] | None = None
     for it in range(start_it, max_iter):
         e = _small_star(_large_star(e))
         e = _checkpoint(spark, e, checkpoint_dir, it)

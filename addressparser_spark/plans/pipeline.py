@@ -41,6 +41,52 @@ def exact_edges(profiles: DataFrame) -> DataFrame:
     )
 
 
+def sig_representatives(profiles: DataFrame) -> DataFrame:
+    """(conv_id, rep): every conversation mapped to its per-sig min conv_id."""
+    w = Window.partitionBy("sig")
+    return profiles.select("conv_id", F.min("conv_id").over(w).alias("rep"))
+
+
+def funnel_clusters_from(
+    profiles: DataFrame,
+    heavy_edges: DataFrame,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(conv_id, cluster_id): light/heavy funnel clustering via contraction.
+
+    Exact-duplicate (same-sig) stars are converged by construction — every
+    member already points at the per-sig min — so sending them through the
+    O(log n) connected-components loop is pure waste (they were ~95% of the
+    edge volume). Instead the star is CONTRACTED: each heavy edge's
+    endpoints are replaced by their sig representative, CC runs only on the
+    contracted heavy-edge graph (tiny: one node per *distinct-content*
+    conversation that matched something), and the mapping expands back
+    through the rep.
+
+    Contraction preserves labels exactly: every member's conv_id >= its
+    rep's conv_id (rep = group min), so the min over a merged component of
+    sig-groups equals the min over their reps — the same ``cluster_id`` the
+    single-graph CC would emit (the driver oracle's recursive closure proves
+    this equivalence).
+    """
+    rep = sig_representatives(profiles)
+    contracted = (
+        heavy_edges.join(
+            rep.select(F.col("conv_id").alias("src"), F.col("rep").alias("rep_src")),
+            "src",
+        )
+        .join(
+            rep.select(F.col("conv_id").alias("dst"), F.col("rep").alias("rep_dst")),
+            "dst",
+        )
+        .select(F.col("rep_src").alias("src"), F.col("rep_dst").alias("dst"))
+    )
+    comp = connected_components(contracted, checkpoint_dir=checkpoint_dir)
+    return rep.join(
+        comp.withColumnRenamed("node", "rep"), "rep", "left"
+    ).select("conv_id", F.coalesce("component", "rep").alias("cluster_id"))
+
+
 def heavy_pairs(profiles: DataFrame, num_hashes: int, rows_per_band: int,
                 max_block_size: int, blocks: DataFrame | None = None) -> DataFrame:
     """Heavy stage candidates: prefix + MinHash keys only, same-sig pairs
@@ -149,12 +195,15 @@ def run_linkage(
     metrics.observations["scored"] = obs_scored
 
     if escalate:
-        edges = exact_edges(profiles).unionByName(scoring.matched_edges(scored))
+        # contraction shortcut: same-sig stars never enter the CC loop
+        clusters = funnel_clusters_from(
+            profiles, scoring.matched_edges(scored), checkpoint_dir=checkpoint_dir
+        )
     else:
-        edges = scoring.matched_edges(scored)
-
-    components = connected_components(edges, checkpoint_dir=checkpoint_dir)
-    clusters = assign_clusters(profiles, components)
+        components = connected_components(
+            scoring.matched_edges(scored), checkpoint_dir=checkpoint_dir
+        )
+        clusters = assign_clusters(profiles, components)
 
     return LinkageResult(
         profiles=profiles,

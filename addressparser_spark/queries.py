@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from .data.transcripts import transcripts_df
 from .operators import blocking, pairs as pairs_op, scoring
-from .operators.clustering import assign_clusters, connected_components
 
 
 def _profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,15 +72,14 @@ def er_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _funnel_clusters(p: DataFrame, blocks: DataFrame | None = None) -> DataFrame:
     """Light->heavy funnel clustering (oracle-equivalent to scoring all pairs;
-    the parity gate proves it against the flat-SQL closure)."""
-    from .plans.pipeline import exact_edges, heavy_pairs
+    the parity gate proves it against the flat-SQL closure). Same-sig stars
+    are contracted out of the CC loop entirely (see ``funnel_clusters_from``)."""
+    from .plans.pipeline import funnel_clusters_from, heavy_pairs
 
     cand = heavy_pairs(p, blocking.NUM_HASHES, blocking.ROWS_PER_BAND,
                        pairs_op.MAX_BLOCK_SIZE, blocks=blocks)
     scored = scoring.score_pairs(cand, p, with_jw=False)
-    edges = exact_edges(p).unionByName(scoring.matched_edges(scored))
-    comp = connected_components(edges)
-    return assign_clusters(p, comp)
+    return funnel_clusters_from(p, scoring.matched_edges(scored))
 
 
 def er_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
