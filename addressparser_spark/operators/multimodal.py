@@ -5,16 +5,20 @@ column with a typed metadata struct; decode/feature-extract runs as
 Arrow-batched ``mapInPandas`` so each task streams batches without
 materializing whole partitions.
 
-The sandbox has no image/audio libraries, so the decode step is STUBBED:
-``decode_media`` raises ``NotImplementedError`` unless ``deterministic_fake``
-is set, in which case features are derived deterministically from the bytes
-(md5 arithmetic) — the Spark-side plumbing (schema, batching, partitioning,
-UDF signatures) is real and tested either way.
+Two container formats are decoded FOR REAL with pure-stdlib parsers (no
+image/audio libraries needed): PNG (IHDR width/height, signature + chunk walk)
+and WAV (RIFF chunk walk, duration from data size / fmt byte rate). Payloads
+in any other format fall back to a deterministic md5-derived stub when
+``deterministic_fake`` is set, else raise ``NotImplementedError`` — the Spark
+plumbing (schema, batching, partitioning, UDF signatures) is identical on
+every path, so swapping in PIL/ffmpeg later changes only the per-row parse.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -57,6 +61,76 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(payload: bytes) -> tuple[int, int] | None:
+    """Parse width/height from a PNG's IHDR chunk; None if not a PNG.
+
+    The PNG spec fixes IHDR as the first chunk: 8-byte signature, 4-byte
+    big-endian length, the literal type ``IHDR``, then width and height as
+    big-endian uint32 — a header read, no pixel decode.
+    """
+    if len(payload) < 24 or payload[:8] != _PNG_SIGNATURE or payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+    return width, height
+
+
+def _wav_duration_ms(payload: bytes) -> int | None:
+    """Duration of a RIFF/WAVE payload in ms; None if not a WAV.
+
+    Walks the RIFF chunk list (id, little-endian size, data, even padding):
+    the ``fmt `` chunk carries byte_rate at data offset 8, the ``data``
+    chunk's size is the PCM byte count — duration = data_size / byte_rate.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    byte_rate = data_size = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+        if cid == b"fmt " and size >= 16:
+            (byte_rate,) = struct.unpack("<I", payload[off + 16 : off + 20])
+        elif cid == b"data":
+            data_size = size
+        off += 8 + size + (size & 1)  # chunks are padded to even length
+    if not byte_rate or data_size is None:
+        return None
+    return round(data_size * 1000 / byte_rate)
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Build a minimal VALID 8-bit grayscale PNG (test fixture / synthesizer)."""
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    scanlines = (b"\x00" + bytes(width)) * height  # filter 0 + zero pixels
+    return (
+        _PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
+    """Build a minimal valid 8-bit mono PCM WAV of the given duration."""
+    n_samples = sample_rate * duration_ms // 1000
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    data = bytes(n_samples)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def _fake_features(kind: str, payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a real decoder: dims/duration from bytes."""
     h = hashlib.md5(payload).digest()
@@ -67,23 +141,42 @@ def _fake_features(kind: str, payload: bytes) -> tuple[int, int, int]:
     return 320 + h[4] % 64, 240 + h[5] % 64, 1000 + int.from_bytes(h[6:8], "big") % 30000
 
 
+def _features(kind: str, payload: bytes, deterministic_fake: bool) -> tuple[int, int, int]:
+    """Per-row decode: real container parse first, stub only as fallback.
+
+    Dispatch is by the payload's magic bytes, not the claimed ``kind`` — a
+    mislabeled column must not route a PNG through the audio path.
+    """
+    dims = _png_dims(payload)
+    if dims is not None:
+        return dims[0], dims[1], 0
+    dur = _wav_duration_ms(payload)
+    if dur is not None:
+        return 0, 0, dur
+    if not deterministic_fake:
+        raise NotImplementedError(
+            f"payload is neither PNG nor WAV and no other media decoder is "
+            f"available in this environment (kind={kind!r}); "
+            "set deterministic_fake=True for a deterministic stub"
+        )
+    return _fake_features(kind, payload)
+
+
 def decode_media(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``.
 
-    Real deployment: replace ``_fake_features`` with PIL/librosa/ffmpeg calls
-    inside the same batch loop — the Arrow batch shape, output schema, and
-    partitioning are identical.
+    PNG and WAV payloads are decoded for real (pure-stdlib header parses,
+    see ``_png_dims`` / ``_wav_duration_ms``); other formats use the
+    deterministic stub or raise. Real deployment: add PIL/librosa/ffmpeg
+    branches inside the same batch loop — the Arrow batch shape, output
+    schema, and partitioning are identical.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not deterministic_fake:
-            raise NotImplementedError(
-                "real media decoding requires image/audio libraries not "
-                "present in this environment; set deterministic_fake=True"
-            )
         for pdf in batches:
             feats = [
-                _fake_features(k, bytes(p)) for k, p in zip(pdf["kind"], pdf["payload"])
+                _features(k, bytes(p), deterministic_fake)
+                for k, p in zip(pdf["kind"], pdf["payload"])
             ]
             yield pd.DataFrame(
                 {

@@ -7,8 +7,13 @@ from pyspark.sql import functions as F
 
 from addressparser_spark.data.transcripts import transcripts_df
 from addressparser_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    _png_dims,
+    _wav_duration_ms,
     decode_media,
     frame_sample,
+    make_png,
+    make_wav,
     media_from_documents,
 )
 from addressparser_spark.streaming.incremental import (
@@ -105,6 +110,37 @@ def test_media_decode_plumbing(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_real_png_wav_decode(spark):
+    """PNG/WAV payloads decode to TRUE dimensions/durations (no stub), even
+    with deterministic_fake=False and regardless of the claimed kind."""
+    rows = [
+        (1, "image", make_png(640, 480), (len(make_png(640, 480)), "image/png", "t")),
+        (2, "image", make_png(1, 10_000), (len(make_png(1, 10_000)), "image/png", "t")),
+        (3, "audio", make_wav(2500), (len(make_wav(2500)), "audio/wav", "t")),
+        (4, "audio", make_wav(60_000, 44_100), (len(make_wav(60_000, 44_100)), "audio/wav", "t")),
+        # mislabeled kind: magic bytes win over the metadata column
+        (5, "video", make_png(32, 64), (len(make_png(32, 64)), "image/png", "t")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r
+        for r in decode_media(media, deterministic_fake=False).collect()
+    }
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["duration_ms"]) == (640, 480, 0)
+    assert (feats[2]["width"], feats[2]["height"]) == (1, 10_000)
+    assert (feats[3]["width"], feats[3]["duration_ms"]) == (0, 2500)
+    assert feats[4]["duration_ms"] == 60_000
+    assert (feats[5]["width"], feats[5]["height"]) == (32, 64)
+
+    # parser unit checks: truncated/garbage bytes are rejected, not misparsed
+    assert _png_dims(make_png(7, 9)) == (7, 9)
+    assert _png_dims(make_png(7, 9)[:20]) is None
+    assert _png_dims(b"not a png at all, but 24+ bytes long....") is None
+    assert _wav_duration_ms(make_wav(1234)) == 1234
+    assert _wav_duration_ms(make_wav(1234)[:10]) is None
+    assert _wav_duration_ms(b"RIFFxxxxNOPE" + bytes(32)) is None
 
 
 def test_media_decode_stub_raises(spark, sf_dir):
