@@ -160,6 +160,90 @@ def extract_iterative(docs: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 150
+
+
+def chunk_split(docs: DataFrame, size: int = CHUNK_SIZE) -> DataFrame:
+    """F7 literal: split text into fixed-size char chunks, one row each.
+
+    The reference chunks over-long queries into 150-char pieces and parses
+    each piece separately (``Parser.cs:43-57``). Pure Catalyst: posexplode
+    over a sequence of substring offsets — linear, no Python.
+
+    Returns (doc_id, chunk_idx, chunk); short docs yield exactly one chunk.
+    """
+    text = F.col("text")
+    ln = F.length(text)
+    offsets = F.sequence(F.lit(1), F.greatest(ln, F.lit(1)), F.lit(size))
+    d = docs.select(
+        "doc_id", text.alias("text"),
+        F.posexplode(offsets).alias("chunk_idx", "off"),
+    )
+    return d.select(
+        "doc_id", "chunk_idx",
+        F.col("text").substr(F.col("off"), F.lit(size)).alias("chunk"),
+    )
+
+
+def chunked_extract(docs: DataFrame, size: int = CHUNK_SIZE) -> DataFrame:
+    """F7 complete shape: chunk-split -> per-chunk parse -> per-doc merge.
+
+    Analog of ``ParseAddress`` (``Parser.cs:58-70``): every 150-char chunk is
+    parsed independently, then ``GetMainAddress`` keeps one winner per query.
+    Here the per-chunk parse is the trailing-number peel + token count, and
+    the merge keeps the chunk with the MOST word tokens (the reference's
+    "main address" = most-specific parse), tie-broken by chunk_idx — one
+    window argmax, no shuffle beyond the doc_id grouping.
+    """
+    from pyspark.sql import Window
+
+    chunks = chunk_split(docs, size)
+    parsed = chunks.select(
+        "doc_id", "chunk_idx",
+        F.regexp_count(F.col("chunk"), F.lit(WORD_PATTERN)).alias("chunk_words"),
+        F.regexp_extract(F.col("chunk"), r"(\d+)\s*$", 1).alias("chunk_tail_num"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("chunk_words"), F.asc("chunk_idx")
+    )
+    return (
+        parsed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").alias("main_chunk"),
+            "chunk_words",
+            F.nullif(F.col("chunk_tail_num"), F.lit("")).cast("bigint").alias("tail_num"),
+        )
+    )
+
+
+# F4 literal: the reference's kilometer pattern digit-prefix + unit token,
+# rewritten into the string as separated tokens (``RegexPatterns.cs:26``,
+# ``Parser.cs:272-276``). Both the Latin and Cyrillic unit spellings, since
+# the corpus vocabulary is mixed.
+KILOMETER_PATTERN = r"(?i)(?:^|\s)(\d+)\s*(km|км)(?:\s|$)"
+
+
+def kilometer_parse(docs: DataFrame) -> DataFrame:
+    """F4 proper: regexp capture of '<n> km' + numeric cast + rewrite.
+
+    Returns (doc_id, km_n, text_rewritten): ``km_n`` is the captured number
+    cast to bigint (null when absent), ``text_rewritten`` has the match
+    normalized to ' <n> km ' — the reference's Replace+Trim
+    (``Parser.cs:274-275``) as one Catalyst regexp_replace.
+    """
+    text = F.col("text")
+    n = F.regexp_extract(text, KILOMETER_PATTERN, 1)
+    return docs.select(
+        "doc_id",
+        F.nullif(n, F.lit("")).cast("bigint").alias("km_n"),
+        F.trim(
+            F.regexp_replace(text, KILOMETER_PATTERN, r" $1 km ")
+        ).alias("text_rewritten"),
+    )
+
+
 def doc_fingerprints(docs: DataFrame, n: int = FINGERPRINT_NGRAM, k: int = FINGERPRINT_K) -> DataFrame:
     """Bottom-k sketch of char-n-gram md5s: a compact content fingerprint.
 

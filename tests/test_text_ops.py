@@ -1,0 +1,66 @@
+"""F7 literal chunking (split -> per-chunk parse -> merge) and F4 kilometer
+parse, against hand-built fixtures (reference: Parser.cs:43-70, 272-276;
+RegexPatterns.cs:26)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from addressparser_spark.operators.text_analysis import (
+    chunk_split,
+    chunked_extract,
+    kilometer_parse,
+)
+
+DOC_SCHEMA = "doc_id bigint, text string"
+
+
+def test_chunk_split_covers_text_exactly(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 150), (2, "y" * 151), (3, "z" * 449), (4, "short"), (5, "")],
+        DOC_SCHEMA,
+    )
+    chunks = chunk_split(docs, size=150).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    # exact cover: concatenating chunks reproduces the text, every chunk <= 150
+    assert "".join(by_doc[1]) == "x" * 150 and len(by_doc[1]) == 1
+    assert "".join(by_doc[2]) == "y" * 151 and len(by_doc[2]) == 2
+    assert [len(c) for c in by_doc[3]] == [150, 150, 149]
+    assert by_doc[4] == ["short"]
+    assert by_doc[5] == [""]  # empty doc still yields its one (empty) chunk
+
+
+def test_chunked_extract_picks_main_chunk(spark):
+    # doc 1: second chunk is the word-dense one -> merge must pick idx 1
+    wordy = "alpha beta gamma delta epsilon zeta " * 5  # 180 chars, many words
+    sparse = "#" * 140 + " 77"
+    docs = spark.createDataFrame([(1, sparse + wordy), (2, "tiny doc 42")], DOC_SCHEMA)
+    rows = {r["doc_id"]: r for r in chunked_extract(docs, size=150).collect()}
+    assert rows[1]["main_chunk"] > 0
+    assert rows[1]["chunk_words"] > 10
+    # single-chunk doc: its own trailing number survives the merge
+    assert rows[2]["main_chunk"] == 0 and rows[2]["tail_num"] == 42
+    # one row per doc (the merge is an argmax, not a flatten)
+    assert chunked_extract(docs, size=150).count() == 2
+
+
+def test_kilometer_parse(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "depot at 23 km marker"),
+            (2, "склад 108км от города"),  # Cyrillic unit, no space
+            (3, "no kilometers here"),
+            (4, "KM 12 is not a match"),  # unit before number: no capture
+        ],
+        DOC_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in kilometer_parse(docs).collect()}
+    assert rows[1]["km_n"] == 23
+    assert "23 km" in rows[1]["text_rewritten"]
+    assert rows[2]["km_n"] == 108
+    assert "108 km" in rows[2]["text_rewritten"]  # unit normalized to 'km'
+    assert rows[3]["km_n"] is None
+    assert rows[3]["text_rewritten"] == "no kilometers here"
+    assert rows[4]["km_n"] is None
