@@ -57,12 +57,39 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _is_star_forest(edges: DataFrame) -> bool:
+    """Structural convergence test: TRUE iff the edge set is a converged
+    min-labeled star forest.
+
+    Converged means: every edge points member -> center (src > dst), no node
+    is both a source and a destination (no chains left to collapse), and no
+    source appears twice (no node still linked to two centers). One tiny
+    aggregation job — much cheaper than the extra large-star/small-star
+    round that fingerprint-equality convergence detection needs to CONFIRM
+    stability: this test fires on the converged round itself, and an input
+    that is already a star forest (e.g. pure exact-duplicate stars) exits
+    with zero rounds.
+    """
+    nodes = edges.select(
+        F.col("src").alias("n"),
+        F.lit(1).alias("s"),
+        F.lit(0).alias("d"),
+        (F.col("src") <= F.col("dst")).cast("int").alias("w"),
+    ).unionAll(
+        edges.select(F.col("dst"), F.lit(0), F.lit(1), F.lit(0))
+    )
+    bad = (
+        nodes.groupBy("n")
+        .agg(
+            F.max("s").alias("s"), F.max("d").alias("d"),
+            F.sum("s").alias("ns"), F.max("w").alias("w"),
+        )
+        .filter(
+            (F.col("w") == 1)
+            | ((F.col("s") == 1) & ((F.col("d") == 1) | (F.col("ns") > 1)))
+        )
+    )
+    return bad.isEmpty()
 
 
 def _checkpoint(
@@ -75,10 +102,10 @@ def _checkpoint(
     # alone does NOT truncate (caching is a physical-plan concern; the
     # optimizer still walks the full tree) — measured, do not "simplify".
     if checkpoint_dir is None:
-        # eager=False: the per-round fingerprint action (always the next
-        # statement) materializes the checkpoint, so each round costs ONE
-        # job, not two — at small edge volumes the loop is scheduling-latency
-        # bound, and this halves the sequential job count
+        # eager=False: the next round's convergence-check action materializes
+        # the checkpoint, so each round costs ONE job, not two — at small
+        # edge volumes the loop is scheduling-latency bound, and this halves
+        # the sequential job count
         return df.localCheckpoint(eager=False)
     path = os.path.join(checkpoint_dir, f"iter_{it:03d}")
     df.write.mode("overwrite").parquet(path)
@@ -109,29 +136,36 @@ def connected_components(
     ``component`` is the lexicographic min node id of the connected component.
     """
     spark = edges.sparkSession
+    # normalize in CONVERGED orientation (big -> small): an input that is
+    # already a min-labeled star forest then exits below with zero rounds
     e = edges.select(
-        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).filter(F.col("src") != F.col("dst")).distinct()
 
     start_it = 0
+    resumed = None
     if checkpoint_dir is not None and resume:
         start_it, resumed = _resume_iteration(spark, checkpoint_dir)
-        if resumed is not None:
-            e = resumed
+    if resumed is not None:
+        e = resumed
+    else:
+        # materialize the (possibly expensive) upstream plan ONCE: the
+        # convergence check and round 1 both consume this frontier
+        e = e.localCheckpoint(eager=False)
 
-    # No fingerprint of the INPUT: star rounds re-orient edges, so the round-0
-    # output never fingerprint-matches raw input anyway — convergence is
-    # detected as fp(round k) == fp(round k-1), saving one up-front job.
-    prev_fp: tuple[int, int] | None = None
     for it in range(start_it, max_iter):
+        # structural check BEFORE each round: fires on the converged round
+        # itself (fingerprint-equality needs one extra confirming round) and
+        # doubles as the action that materializes the lazy checkpoint
+        if _is_star_forest(e):
+            break
         e = _small_star(_large_star(e))
         e = _checkpoint(spark, e, checkpoint_dir, it)
-        fp = _edge_fingerprint(e)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
     else:
-        raise RuntimeError(f"connected_components: no convergence in {max_iter} iterations")
+        if not _is_star_forest(e):
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} iterations"
+            )
 
     # Converged: every edge points node -> component min. Reps map to themselves.
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
