@@ -91,6 +91,71 @@ def test_event_time_timeout_flushes_trailing_session(spark, tmp_path):
     }
 
 
+def test_multi_chunk_group_in_one_microbatch(spark, tmp_path):
+    """A group larger than the Arrow batch size arrives as MULTIPLE pandas
+    chunks, in no particular order: the fold must materialize + globally sort
+    the group before folding (sorting per chunk and folding in arrival order
+    splits sessions at chunk boundaries — the round-2 review finding)."""
+    import datetime as dt
+    import os
+    import random
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # one user, 200 events in 5 sessions of 40 (1-min steps inside a
+    # session, 1-hour jumps between sessions), plus a final closer event
+    rows = []
+    eid = 0
+    ts = t0
+    for sess in range(5):
+        for _ in range(40):
+            rows.append((1, eid, ts, 1.0))
+            eid += 1
+            ts += dt.timedelta(seconds=60)
+        ts += dt.timedelta(hours=1)
+    rows.append((1, eid, ts, 1.0))  # closes session 4
+    rng = random.Random(3)
+    rng.shuffle(rows)  # file order != time order across chunk boundaries
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+    )
+    d = str(tmp_path / "stage")
+    df.coalesce(1).write.parquet(d)
+    shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], f"{in_dir}/b0.parquet")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, event_id bigint, ts timestamp, value double"
+            )
+            .parquet(in_dir)
+        )
+        q = (
+            sessionize_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("chunked_sessions")
+            .option("checkpointLocation", str(tmp_path / "ck_chunk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {
+        r["sess_idx"]: (r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM chunked_sessions").collect()
+    }
+    # all five 40-event sessions closed (the +1 closer leaves one open)
+    assert got == {i: (40, 40.0) for i in range(5)}
+
+
 def test_stateful_sessions_match_batch(spark, sf_dir, tmp_path):
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
