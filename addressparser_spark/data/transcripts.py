@@ -63,26 +63,42 @@ def _base_turns(docs: DataFrame) -> DataFrame:
 
 
 def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's input table, derived from ``{sf_dir}/documents.parquet``."""
+    """The engine's input table, derived from ``{sf_dir}/documents.parquet``.
+
+    ONE parquet scan: each base row emits an array of (base + conditional
+    variant) output structs, exploded once — the earlier 4-branch union
+    scanned ``documents`` four times (a round-2 PLAN_AUDIT known-non-ideal,
+    now fixed). Values are identical to the DuckDB UNION ALL oracle below;
+    only the Spark plan shape differs.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = _base_turns(docs)
+    conv_num, turn_idx = F.col("conv_num"), F.col("turn_idx")
 
-    v1 = (
-        base.filter(F.col("conv_num") % 6 == 0)
-        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_v1")))
-        .withColumn("text", F.upper(F.col("text")))
+    def row(conv_id, text):
+        return F.struct(
+            conv_id.alias("conv_id"),
+            turn_idx.alias("turn_idx"),
+            F.col("role").alias("role"),
+            text.alias("text"),
+            F.col("tool").alias("tool"),
+            F.col("ts").alias("ts"),
+        )
+
+    rows = F.array(
+        row(F.col("conv_id"), F.col("text")),
+        F.when(conv_num % 6 == 0,
+               row(F.concat(F.col("conv_id"), F.lit("_v1")), F.upper(F.col("text")))),
+        F.when(conv_num % 6 == 2,
+               row(F.concat(F.col("conv_id"), F.lit("_v2")),
+                   F.concat(F.regexp_replace(F.col("text"), " ", "  "), F.lit(" ???")))),
+        F.when((conv_num % 6 == 4) & (turn_idx < 3),
+               row(F.concat(F.col("conv_id"), F.lit("_v3")), F.col("text"))),
     )
-    v2 = (
-        base.filter(F.col("conv_num") % 6 == 2)
-        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_v2")))
-        .withColumn("text", F.concat(F.regexp_replace(F.col("text"), " ", "  "), F.lit(" ???")))
+    return (
+        base.select(F.explode(F.filter(rows, lambda r: r.isNotNull())).alias("r"))
+        .select("r.*")
     )
-    v3 = (
-        base.filter((F.col("conv_num") % 6 == 4) & (F.col("turn_idx") < 3))
-        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_v3")))
-    )
-    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    return base.select(cols).unionByName(v1.select(cols)).unionByName(v2.select(cols)).unionByName(v3.select(cols))
 
 
 def truth_df(spark: SparkSession, sf_dir: str) -> DataFrame:
