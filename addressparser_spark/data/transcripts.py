@@ -71,7 +71,12 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     now fixed). Values are identical to the DuckDB UNION ALL oracle below;
     only the Spark plan shape differs.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..sources.tables import read_parallel
+
+    # tiny-input parallelism guard (see read_parallel): one small parquet
+    # file = ONE scan partition, serializing all per-turn expression work
+    # — measured 3x on the sf0.1 profile build; a no-op at scale
+    docs = read_parallel(spark, f"{sf_dir}/documents.parquet")
     base = _base_turns(docs)
     conv_num, turn_idx = F.col("conv_num"), F.col("turn_idx")
 

@@ -91,11 +91,15 @@ def er_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .sources.tables import read_parallel
+
+    return read_parallel(spark, f"{sf_dir}/documents.parquet")
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .sources.tables import read_parallel
+
+    return read_parallel(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

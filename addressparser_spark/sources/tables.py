@@ -22,6 +22,25 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def read_parallel(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with a tiny-input parallelism guard.
+
+    A single small file yields ONE scan partition, serializing all
+    downstream per-row expression work onto a single core (measured 3x on
+    the sf0.1 profile build). When the scan's natural parallelism is below
+    the cluster's default parallelism, repartition up; the partition-count
+    check is plan-only (no job), and at production scale the file count
+    exceeds the core count so the branch never fires — no shuffle is added
+    where the scan already parallelizes. Filters still push to the scan
+    (Catalyst pushes predicates through Repartition).
+    """
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when the Iceberg Spark extensions are on the JVM classpath."""
     try:
