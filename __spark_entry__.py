@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": queries_tpch.rel_rollup,
         "rel_salted_rollup": queries_tpch.rel_salted_rollup,
         "rel_grouping_sets": queries_tpch.rel_grouping_sets,
+        # entries past the 50th still run in the local parity gate
+        # (tests/test_oracle_parity.py) even if the driver records only 50
+        "ann_ivf_topk": q.ann_ivf_topk,
     }
 
 
@@ -109,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": oracle_docs.doc_fingerprints_sql(),
         "ann_cosine_topk": oracle_docs.ann_cosine_topk_sql(),
         "ann_lsh_topk": oracle_docs.ann_lsh_topk_sql(dim=EMB_DIM),
+        "ann_ivf_topk": oracle_docs.ann_ivf_topk_sql(),
         "er_dropped_blocks": oracle.dropped_blocks_sql(),
         "er_substring_block": oracle.substring_block_sql(),
         "er_hot_index_keys": oracle.hot_index_keys_sql(),

@@ -267,3 +267,128 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-partitioned scale path
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
+
+
+def ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = IVF_CENTROIDS
+) -> list[tuple[int, list[float]]]:
+    """Collect the coarse-quantizer centroids (the IVF *model*) driver-side.
+
+    An IVF index is a two-phase structure: a small learned model (K
+    centroids) plus a partitioned corpus. The model legitimately lives on
+    the driver — Spark ML's KMeans holds its cluster centers exactly this
+    way — and is embedded into the assignment plan as literal arrays, so
+    the per-vector assignment is a zero-shuffle projection (same principle
+    as the LSH hyperplane literals above: constants belong in the plan).
+
+    Deterministic seed rule (sandbox): centroid ``c`` = the embedding of
+    ``vec_id == c``, reproducible in any engine, so the DuckDB oracle
+    derives the identical quantizer. Production would run k-means|| here
+    and feed the learned centers through the same (list_id, vector) shape;
+    nothing downstream changes. K rows collected — O(K·dim) bytes, not a
+    scan (predicate pushdown prunes on vec_id).
+    """
+    rows = (
+        _as_double(embeddings)
+        .filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted((int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in rows)
+
+
+def _nearest_lists_col(
+    emb: Column, centroids: list[tuple[int, list[float]]], n_probe: int
+) -> Column:
+    """Array of the ``n_probe`` nearest centroid list_ids for a vector.
+
+    Order: cosine desc, list_id asc (total order — rounded to 6 places
+    first so the tie-break is engine-reproducible). Pure projection over
+    literal centroid arrays: no join, no shuffle, whole-stage codegen.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(cosine_col(emb, F.array(*[F.lit(v) for v in vec])), 6).alias("c"),
+                F.lit(-lid).alias("nl"),
+            )
+            for lid, vec in centroids
+        ]
+    )
+    # array_sort ascending by (c, nl); reversed -> c desc, nl desc = list_id asc
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return F.transform(top, lambda s: -s["nl"])
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Corpus with its inverted-list assignment: +(list_id) — each vector in
+    exactly ONE list (a partition, unlike LSH's overlapping buckets).
+
+    At 10^9 vectors this column is the table's physical partition/bucket key:
+    write the corpus ``partitionBy("list_id")`` and probing prunes to
+    ``n_probe/K`` of the data at scan time (partition pruning, no shuffle).
+    """
+    e = _as_double(embeddings)
+    return e.withColumn(
+        "list_id", _nearest_lists_col(F.col("embedding"), centroids, 1)[0]
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): IVF top-k — the second ANN
+    scale path beside multi-table LSH (``lsh_topk``).
+
+    Shape: assign every vector to its nearest of K centroids (inverted
+    file); per query, probe only the ``n_probe`` nearest lists; exact
+    cosine re-rank inside the probed lists. The probe side is
+    (n_queries x n_probe) rows and broadcast; the corpus side streams with
+    partition pruning on ``list_id``. Because lists partition the corpus,
+    candidates need NO cross-table dedup (contrast: LSH's multi-table
+    union does). Approximate by construction: a true neighbor assigned to
+    an unprobed list is missed — recall vs ``cosine_topk`` is measured in
+    tests, tunable via ``n_probe``.
+    """
+    cents = ivf_centroids(embeddings, n_centroids)
+    e = ivf_assign(embeddings, cents).select("vec_id", "embedding", "list_id")
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            _nearest_lists_col(F.col("embedding"), cents, n_probe)
+        ).alias("list_id"),
+    )
+    cand = (
+        e.join(F.broadcast(q.select("query_id", "list_id")), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "embedding")
+    )
+    q_emb = q.select("query_id", "q_emb").dropDuplicates(["query_id"])
+    scored = cand.join(F.broadcast(q_emb), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -337,6 +337,51 @@ FROM scored
 QUALIFY rank <= {TOP_K}"""
 
 
+def ann_ivf_topk_sql() -> str:
+    """IVF oracle: same deterministic quantizer (centroid c = embedding of
+    vec_id c), same rounded-cosine tie-break, flat SQL."""
+    from .operators.ann import IVF_CENTROIDS, IVF_PROBES
+
+    cent_cos = """
+round(CASE WHEN sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(cent.c_emb, cent.c_emb)) = 0 THEN 0.0
+      ELSE list_dot_product(e.emb, cent.c_emb)
+           / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(cent.c_emb, cent.c_emb))) END, 6)
+"""
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS list_id, emb AS c_emb FROM e WHERE vec_id < {IVF_CENTROIDS}
+),
+ac AS (
+  SELECT e.vec_id, e.emb, cent.list_id, {cent_cos} AS c
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, emb, list_id FROM ac
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, list_id) = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, list_id FROM ac WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, list_id) <= {IVF_PROBES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assigned a USING (list_id) WHERE a.vec_id <> p.query_id
+),
+qe AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_COSINE} AS cosine
+  FROM cand c
+  JOIN e ON e.vec_id = c.neighbor_id
+  JOIN qe q ON q.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}"""
+
+
 # ---------------------------------------------------------------------------
 # iterative struct extraction (P6) + dropped-bucket accounting
 # ---------------------------------------------------------------------------

@@ -169,6 +169,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_embeddings(spark, sf_dir), dim=EMB_DIM)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second ANN scale path: inverted-file (centroid-partitioned) top-k."""
+    from .operators.ann import ivf_topk
+
+    return ivf_topk(_embeddings(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # resolve + evaluation
 # ---------------------------------------------------------------------------
