@@ -95,6 +95,14 @@ WARMUP_SF_DIR = os.environ.get(
 # every pass is partially hit.
 HEADLINE_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_PASSES", "3"))
 
+# Soft wall-clock budgets (seconds) — graceful degradation, not precision:
+# when a burst inflates passes/rounds several-fold, extra repetitions stop
+# once the phase has spent its budget (always completing at least one), so
+# the whole bench stays inside the driver's run window instead of timing
+# out with no output. Clean-window runs never hit these.
+HEADLINE_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_BUDGET", "420"))
+SCALING_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_SCALING_BUDGET", "1200"))
+
 
 def _headline(spark) -> tuple[dict[str, float], list[float]]:
     import __spark_entry__ as entry
@@ -108,7 +116,10 @@ def _headline(spark) -> tuple[dict[str, float], list[float]]:
         spark.catalog.clearCache()  # drop sf0.001 cached frames before timing
 
     passes: list[dict[str, float]] = []
+    phase_t0 = time.monotonic()
     for _ in range(max(1, HEADLINE_PASSES)):
+        if passes and time.monotonic() - phase_t0 > HEADLINE_BUDGET:
+            break  # burst regime: keep what we have rather than overrun
         out: dict[str, float] = {}
         for name in HEADLINE:
             fn = qs.get(name)
@@ -280,7 +291,10 @@ def _run_scaling() -> dict:
         return (r["pairs"] - r["pairs_small"]) / max(1e-3, r["sec"] - r["sec_small"])
 
     rounds = []
+    phase_t0 = time.monotonic()
     for _ in range(repeats):
+        if rounds and time.monotonic() - phase_t0 > SCALING_BUDGET:
+            break  # burst regime: keep completed rounds, stay in budget
         rn = _scaling_round(n)
         rn4 = _scaling_round(n4)
         rounds.append({
