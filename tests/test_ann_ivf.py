@@ -78,6 +78,31 @@ def test_recall_vs_exact(spark):
     assert recall >= 0.8, recall
 
 
+def test_written_index_partition_prunes(spark, tmp_path):
+    """The scale path: the assigned corpus written partitionBy(list_id) is a
+    physical inverted file — a probe filter must reach the scan as a
+    PARTITION filter (directory pruning), not a post-scan row filter."""
+    df = _clustered_corpus(spark)
+    cents = ivf_centroids(df)
+    assigned = ivf_assign(df, cents).select("vec_id", "embedding", "list_id")
+    path = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("list_id").parquet(path)
+
+    idx = spark.read.parquet(path)
+    probed = [lid for lid, _ in cents[:2]]
+    q = idx.filter(F.col("list_id").isin(probed))
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    scan = [b for b in plan.split("\n\n") if "Scan parquet" in b]
+    assert scan and "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "list_id" in pf_line, pf_line
+    # and the pruned read returns exactly the probed lists' rows
+    expected = assigned.filter(F.col("list_id").isin(probed)).count()
+    assert q.count() == expected > 0
+
+
 def test_probe_bound_limits_candidates(spark):
     # n_probe=1 searches only the query's own list: results are a subset of
     # the n_probe=K (exhaustive-probe) results, which equal exact top-k
