@@ -42,7 +42,7 @@ SCALING_CORES = (4, 16)
 # Steady state is reached by an UNTIMED warm pass at fanout/10 first (same
 # operators, same UDF kernels — JIT + codegen warm-up at ~1/10 the cost of a
 # timed pass); then each worker times the scoring job at TWO sizes
-# (fanout/4 and fanout) and reports both. Throughput is the SLOPE between
+# (fanout/8 and fanout) and reports both. Throughput is the SLOPE between
 # them — marginal pairs/sec — which cancels per-job fixed costs (broadcast
 # build, stage scheduling, session overhead) exactly, instead of requiring
 # jobs long enough to amortize them below the noise floor. Fixed costs are
@@ -231,15 +231,19 @@ def _scaling_worker(cores: int) -> None:
         n = _score(fanout)
         return n, round(time.monotonic() - t0, 3)
 
-    # two sizes per timed run; the round computes marginal throughput from
-    # the (small, large) deltas. min over WORKER_RUNS repetitions per size.
-    small_f = max(1, PAIR_FANOUT // 4)
-    runs_small, runs_large = [], []
-    for _ in range(max(1, WORKER_RUNS)):
-        ps, ts = _timed(small_f)
-        pl, tl = _timed(PAIR_FANOUT)
-        runs_small.append((ps, ts))
-        runs_large.append((pl, tl))
+    # Two sizes per timed run; the round computes marginal throughput from
+    # the (small, large) delta. Noise asymmetry matters here: a burst
+    # hitting the LARGE pass inflates sec and only DEFLATES the slope
+    # (safe for a lower-bound policy), but a burst hitting the SMALL pass
+    # shrinks the time delta and INFLATES the slope — which corrupts both
+    # the round and the N-clean certification. The small pass is ~1/8 the
+    # cost, so it is repeated (min taken) until its timing is trustworthy,
+    # restoring the deflate-only property; the large pass runs WORKER_RUNS
+    # times (default 1 — round-level repetition handles its noise).
+    small_f = max(1, PAIR_FANOUT // 8)
+    small_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL_REPS", "3"))
+    runs_small = [_timed(small_f) for _ in range(max(1, small_reps))]
+    runs_large = [_timed(PAIR_FANOUT) for _ in range(max(1, WORKER_RUNS))]
     ps, sec_small = min(runs_small, key=lambda r: r[1])
     n_pairs, sec = min(runs_large, key=lambda r: r[1])
     print(json.dumps({
