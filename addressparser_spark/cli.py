@@ -43,12 +43,13 @@ def _cmd_package(args: argparse.Namespace) -> None:
 
 def _cmd_link(args: argparse.Namespace) -> None:
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from addressparser_spark.plans.pipeline import run_linkage
     from addressparser_spark.operators.resolve import (
-        REGISTRY_SCHEMA,
-        merge_registry,
-        resolve_entities,
+        CASCADE_REGISTRY_SCHEMA,
+        merge_registry_cascade,
+        resolve_cascade,
     )
     from addressparser_spark.sources.tables import TableStore
 
@@ -60,14 +61,28 @@ def _cmd_link(args: argparse.Namespace) -> None:
         checkpoint_dir=os.path.join(args.output, "cc_checkpoints"),
         with_jw=not args.no_jw,
     )
-    registry = store.read_or_empty("registry", REGISTRY_SCHEMA)
-    resolved = resolve_entities(result.clusters, result.profiles, registry)
+    registry = store.read_or_empty("registry", CASCADE_REGISTRY_SCHEMA)
+    for c in ("prefix_key", "syn_key"):
+        # registries written by the pre-cascade layout carry only `sig`;
+        # they upgrade in place (missing key strengths read as never-hit)
+        if c not in registry.columns:
+            registry = registry.withColumn(c, F.lit(None).cast("string"))
+    # three consumers (resolved table, registry merge, stage metrics)
+    resolved = resolve_cascade(result.clusters, result.profiles, registry).cache()
     store.write("clusters", result.clusters)
     store.write("resolved", resolved)
-    store.replace("registry", merge_registry(resolved, result.profiles, registry))
+    store.replace(
+        "registry", merge_registry_cascade(resolved, result.profiles, registry)
+    )
     store.write("dropped_blocks", result.dropped_blocks)
     metrics = result.metrics.resolve()
     metrics["n_clusters"] = result.clusters.select("cluster_id").distinct().count()
+    metrics["resolve_stages"] = {
+        r["resolve_stage"]: int(r["n"])
+        for r in resolved.groupBy("resolve_stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     from addressparser_spark.plans.pipeline import partition_histogram
 
     metrics["profile_partitions"] = partition_histogram(result.profiles)
