@@ -67,22 +67,27 @@ def _cmd_link(args: argparse.Namespace) -> None:
         # they upgrade in place (missing key strengths read as never-hit)
         if c not in registry.columns:
             registry = registry.withColumn(c, F.lit(None).cast("string"))
-    # three consumers (resolved table, registry merge, stage metrics)
+    # three consumers (resolved table, registry merge, stage metrics); the
+    # try/finally releases the cache when main() is called in-process —
+    # without it a second link on the same SparkSession pins executor memory
     resolved = resolve_cascade(result.clusters, result.profiles, registry).cache()
-    store.write("clusters", result.clusters)
-    store.write("resolved", resolved)
-    store.replace(
-        "registry", merge_registry_cascade(resolved, result.profiles, registry)
-    )
-    store.write("dropped_blocks", result.dropped_blocks)
-    metrics = result.metrics.resolve()
-    metrics["n_clusters"] = result.clusters.select("cluster_id").distinct().count()
-    metrics["resolve_stages"] = {
-        r["resolve_stage"]: int(r["n"])
-        for r in resolved.groupBy("resolve_stage")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    try:
+        store.write("clusters", result.clusters)
+        store.write("resolved", resolved)
+        store.replace(
+            "registry", merge_registry_cascade(resolved, result.profiles, registry)
+        )
+        store.write("dropped_blocks", result.dropped_blocks)
+        metrics = result.metrics.resolve()
+        metrics["n_clusters"] = result.clusters.select("cluster_id").distinct().count()
+        metrics["resolve_stages"] = {
+            r["resolve_stage"]: int(r["n"])
+            for r in resolved.groupBy("resolve_stage")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        resolved.unpersist()
     from addressparser_spark.plans.pipeline import partition_histogram
 
     metrics["profile_partitions"] = partition_histogram(result.profiles)

@@ -281,9 +281,9 @@ def _run_scaling() -> dict:
     sample with a burst-degraded 4N sample (global min per config) then
     *understates* efficiency — so each round runs N and 4N back-to-back
     under the same ambient conditions and computes its own ratio. The
-    HEADLINE is the max over rounds whose N side is verified clean (a
-    certified lower bound — see the inline policy note); the median and
-    every round's raw pass times are reported alongside for audit.
+    HEADLINE is the median over certified-clean rounds (see the inline
+    policy note); the clean-window max, the all-rounds median, and every
+    round's raw pass times (side file) are reported alongside for audit.
     """
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     n, n4 = SCALING_CORES
@@ -293,6 +293,20 @@ def _run_scaling() -> dict:
         # (broadcast build, scheduling) are identical at both sizes and
         # cancel in the delta
         return (r["pairs"] - r["pairs_small"]) / max(1e-3, r["sec"] - r["sec_small"])
+
+    def _side_stable(r: dict) -> bool:
+        # Slope-integrity gate (both sides, both failure directions):
+        # (a) the small pass's min must be corroborated — the two fastest of
+        #     its reps within 25% — because an inflated small-pass min shrinks
+        #     the delta and INFLATES the slope (min-of-reps only makes this
+        #     unlikely, not impossible);
+        # (b) the delta must dominate: sec_small <= half of sec (clean ratio
+        #     is ~1/7, so a burst-hit small pass trips this immediately and a
+        #     burst-hit large pass cannot fake stability on the small side).
+        times = sorted(t for _, t in r["runs_small"])
+        spread_ok = len(times) < 2 or times[1] <= 1.25 * times[0]
+        delta_ok = (r["sec"] - r["sec_small"]) >= 0.5 * r["sec"]
+        return spread_ok and delta_ok
 
     rounds = []
     phase_t0 = time.monotonic()
@@ -304,24 +318,34 @@ def _run_scaling() -> dict:
         rounds.append({
             "n": rn, "n4": rn4,
             "eff": round(_slope(rn4) / (_slope(rn) * (n4 / n)), 3),
+            "stable": _side_stable(rn) and _side_stable(rn4),
         })
     by_eff = sorted(rounds, key=lambda r: r["eff"])
-    median = by_eff[len(by_eff) // 2]  # upper-middle when even: 1 burst of 2
+    median_all = by_eff[len(by_eff) // 2]  # upper-middle when even
 
-    # Headline policy — max over N-clean rounds, which is a certified LOWER
-    # bound on the engine's true efficiency. Reasoning: co-tenant
-    # interference is strictly one-sided (it can only slow a pass down). A
-    # round's efficiency can therefore only be INFLATED if the burst hit its
-    # N (denominator) side. Rounds whose N-side slope is within 10% of the
-    # best N-side slope observed are certified N-clean; for those rounds any
-    # remaining interference sat on the 4N side and can only have DEFLATED
-    # the ratio — so the max over them still understates the clean-window
-    # truth. (The median is also reported: on a quiet machine the two agree;
-    # they diverge only when >=half the rounds caught a burst, which the
-    # per-round raw pass times make auditable.)
+    # Headline policy — MEDIAN over certified-clean rounds. A round is
+    # certified clean when (a) its N-side slope is within 10% of the best
+    # N-side slope observed (co-tenant interference is one-sided — it only
+    # slows a pass — so a matching-denominator round cannot have an inflated
+    # ratio from a slowed N side) and (b) both sides pass the slope-integrity
+    # gate above (so a burst-hit SMALL pass cannot inflate the slope either).
+    # The max over the same clean set is reported as a secondary
+    # "clean-window" figure: on a quiet box the two agree; they diverge only
+    # when residual 4N-side interference deflated some clean rounds, which
+    # the per-round raw times (side file) make auditable. No clean rounds ->
+    # fall back to the median of all rounds.
     best_n_slope = max(_slope(r["n"]) for r in rounds)
-    n_clean = [r for r in rounds if _slope(r["n"]) >= 0.9 * best_n_slope]
-    headline = max(n_clean, key=lambda r: r["eff"]) if n_clean else by_eff[-1]
+    n_clean = [
+        r for r in rounds
+        if r["stable"] and _slope(r["n"]) >= 0.9 * best_n_slope
+    ]
+    if n_clean:
+        by_eff_clean = sorted(n_clean, key=lambda r: r["eff"])
+        headline = by_eff_clean[len(by_eff_clean) // 2]
+        clean_max = by_eff_clean[-1]["eff"]
+    else:
+        headline = median_all
+        clean_max = None
     return {
         "input_convs": BENCH_CONVS,
         "pairs_scored": headline["n4"]["pairs"],
@@ -331,11 +355,15 @@ def _run_scaling() -> dict:
         f"local{n4}_pairs_per_sec": round(_slope(headline["n4"]), 1),
         "throughput_estimator": "marginal (slope between the two pass sizes)",
         "scaling_efficiency": headline["eff"],
-        "scaling_policy": "max over N-clean rounds (lower bound: interference is one-sided and the denominator side is verified clean)",
+        "scaling_policy": (
+            "median over certified-clean rounds (N-side slope within 10% of "
+            "best + small-pass stability gate on both sides)"
+        ),
+        "clean_window_max_efficiency": clean_max,
         "n_clean_rounds": len(n_clean),
-        "median_round_efficiency": median["eff"],
+        "median_round_efficiency": median_all["eff"],
         "round_efficiencies": [r["eff"] for r in rounds],
-        "rounds": rounds,
+        "rounds": rounds,  # spilled to the side file by main(), not stdout
     }
 
 
@@ -371,6 +399,15 @@ def main() -> None:
     }
     out["pairwise_f1"] = f1
     if scaling is not None:
+        # Per-round raw pass timings go to a side file — the driver captures
+        # only the tail of stdout and BENCH_r03 showed the full raw arrays
+        # outgrow that window (parsed: null). Stdout keeps the summary
+        # scalars; the side file keeps the audit trail.
+        raw = {"rounds": scaling.pop("rounds"), "headline_pass_totals": pass_totals}
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_raw_last.json")
+        with open(side, "w") as fh:
+            json.dump(raw, fh, indent=1)
+        scaling["raw_rounds_file"] = "bench_raw_last.json"
         out["scaling"] = scaling
     print(json.dumps(out))
 
