@@ -47,10 +47,10 @@ def _cmd_link(args: argparse.Namespace) -> None:
 
     from addressparser_spark.plans.pipeline import run_linkage
     from addressparser_spark.operators.resolve import (
-        CASCADE_REGISTRY_SCHEMA,
-        merge_registry_cascade,
+        cascade_registry_additions,
         resolve_cascade,
     )
+    from addressparser_spark.sources.registry_writer import registry_writer
     from addressparser_spark.sources.tables import TableStore
 
     spark = SparkSession.builder.appName("transcript-linkage").getOrCreate()
@@ -61,12 +61,12 @@ def _cmd_link(args: argparse.Namespace) -> None:
         checkpoint_dir=os.path.join(args.output, "cc_checkpoints"),
         with_jw=not args.no_jw,
     )
-    registry = store.read_or_empty("registry", CASCADE_REGISTRY_SCHEMA)
-    for c in ("prefix_key", "syn_key"):
-        # registries written by the pre-cascade layout carry only `sig`;
-        # they upgrade in place (missing key strengths read as never-hit)
-        if c not in registry.columns:
-            registry = registry.withColumn(c, F.lit(None).cast("string"))
+    # MERGE seam: Iceberg MERGE INTO when --registry-table names a catalog
+    # table and the jar is present; parquet anti-join+union emulation here
+    writer = registry_writer(
+        spark, store, iceberg_table=getattr(args, "registry_table", None)
+    )
+    registry = writer.read()
     # three consumers (resolved table, registry merge, stage metrics); the
     # try/finally releases the cache when main() is called in-process —
     # without it a second link on the same SparkSession pins executor memory
@@ -74,9 +74,7 @@ def _cmd_link(args: argparse.Namespace) -> None:
     try:
         store.write("clusters", result.clusters)
         store.write("resolved", resolved)
-        store.replace(
-            "registry", merge_registry_cascade(resolved, result.profiles, registry)
-        )
+        writer.merge(cascade_registry_additions(resolved, result.profiles, registry))
         store.write("dropped_blocks", result.dropped_blocks)
         metrics = result.metrics.resolve()
         metrics["n_clusters"] = result.clusters.select("cluster_id").distinct().count()
@@ -125,6 +123,12 @@ def main(argv: list[str] | None = None) -> None:
     ln.add_argument("--input", required=True)
     ln.add_argument("--output", required=True)
     ln.add_argument("--no-jw", action="store_true")
+    ln.add_argument(
+        "--registry-table",
+        default=None,
+        help="Iceberg catalog table for the registry (real MERGE INTO); "
+        "default: parquet emulation under --output/registry",
+    )
     ln.set_defaults(fn=_cmd_link)
 
     st = sub.add_parser("stream", help="incremental streaming linkage")

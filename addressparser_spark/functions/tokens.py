@@ -48,3 +48,40 @@ def shingles_col(tokens: Column, k: int = 3) -> Column:
 
 def distinct_shingles_col(tokens: Column, k: int = 3) -> Column:
     return F.array_distinct(shingles_col(tokens, k))
+
+
+def stem_tokens_col(
+    tokens: Column, rules: list[tuple[str, str]] | None = None
+) -> Column:
+    """Fold each token to its suffix-stripped stem (heavy-mode CONTAINS arm).
+
+    Pure Catalyst when-chain built from ``data/stemming.py``'s rule table
+    (see there for the exact semantics shared with the DuckDB oracle) —
+    dimension-sized rules applied as expressions, the same pattern as
+    ``canonical_tokens_col``. Mirrors the inflection matching of the
+    reference's full-text ``CONTAINS`` candidate fetch
+    (``Db/DataContextBase_AddrObject.cs:115-141``).
+    """
+    from ..data.stemming import DOUBLED, MIN_STEM, UNDOUBLE_AFTER, ordered_rules
+
+    def undouble(expr: Column) -> Column:
+        out = expr
+        for d in reversed(DOUBLED):
+            out = F.when(
+                expr.endswith(d), expr.substr(F.lit(1), F.length(expr) - 1)
+            ).otherwise(out)
+        return out
+
+    def stem_one(t: Column) -> Column:
+        chain = None
+        for suf, rep in ordered_rules(rules):
+            stem = t.substr(F.lit(1), F.length(t) - len(suf))
+            if rep:
+                stem = F.concat(stem, F.lit(rep))
+            elif suf in UNDOUBLE_AFTER:
+                stem = undouble(stem)
+            cond = t.endswith(suf) & (F.length(t) - len(suf) >= MIN_STEM)
+            chain = F.when(cond, stem) if chain is None else chain.when(cond, stem)
+        return t if chain is None else chain.otherwise(t)
+
+    return F.transform(tokens, stem_one)

@@ -5,10 +5,11 @@ column with a typed metadata struct; decode/feature-extract runs as
 Arrow-batched ``mapInPandas`` so each task streams batches without
 materializing whole partitions.
 
-Two container formats are decoded FOR REAL with pure-stdlib parsers (no
-image/audio libraries needed): PNG (IHDR width/height, signature + chunk walk)
-and WAV (RIFF chunk walk, duration from data size / fmt byte rate). Payloads
-in any other format fall back to a deterministic md5-derived stub when
+Three container formats are decoded FOR REAL with pure-stdlib parsers (no
+image/audio libraries needed): PNG (IHDR width/height, signature + chunk
+walk), JPEG (segment walk to the SOF frame header), and WAV (RIFF chunk
+walk, duration from data size / fmt byte rate). Payloads in any other
+format (video) fall back to a deterministic md5-derived stub when
 ``deterministic_fake`` is set, else raise ``NotImplementedError`` — the Spark
 plumbing (schema, batching, partitioning, UDF signatures) is identical on
 every path, so swapping in PIL/ffmpeg later changes only the per-row parse.
@@ -77,6 +78,46 @@ def _png_dims(payload: bytes) -> tuple[int, int] | None:
     return width, height
 
 
+_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}  # not DHT/JPG/DAC
+_STANDALONE = frozenset({0x01, 0xD8}) | frozenset(range(0xD0, 0xD8))  # TEM/SOI/RSTn
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """Parse width/height from a JPEG's SOF frame header; None if not a JPEG.
+
+    JPEG is a segment stream after the SOI marker: ``FF <type>`` then (for
+    sized segments) a big-endian uint16 length that includes itself. The
+    first SOF0-SOF15 segment (excluding DHT/JPG/DAC which share the range)
+    carries precision(1), height(2), width(2) — a header walk, no entropy
+    decode, same cost class as the PNG IHDR read.
+    """
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    off = 2
+    while off + 4 <= len(payload):
+        if payload[off] != 0xFF:
+            return None  # lost sync: not a well-formed segment stream
+        marker = payload[off + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            off += 1
+            continue
+        off += 2
+        if marker in _STANDALONE:
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        if off + 2 > len(payload):
+            return None
+        (size,) = struct.unpack(">H", payload[off : off + 2])
+        if marker in _SOF_MARKERS:
+            if size < 7 or off + 7 > len(payload):
+                return None
+            height, width = struct.unpack(">HH", payload[off + 3 : off + 7])
+            return width, height
+        off += size
+    return None
+
+
 def _wav_duration_ms(payload: bytes) -> int | None:
     """Duration of a RIFF/WAVE payload in ms; None if not a WAV.
 
@@ -118,6 +159,18 @@ def make_png(width: int, height: int) -> bytes:
     )
 
 
+def make_jpeg(width: int, height: int) -> bytes:
+    """Build a minimal structurally-valid JPEG header stream (test fixture):
+    SOI + JFIF APP0 + baseline SOF0 (one grayscale component) + EOI."""
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return b"\xff" + bytes([marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + seg(0xE0, app0) + seg(0xC0, sof0) + b"\xff\xd9"
+
+
 def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
     """Build a minimal valid 8-bit mono PCM WAV of the given duration."""
     n_samples = sample_rate * duration_ms // 1000
@@ -147,7 +200,7 @@ def _features(kind: str, payload: bytes, deterministic_fake: bool) -> tuple[int,
     Dispatch is by the payload's magic bytes, not the claimed ``kind`` — a
     mislabeled column must not route a PNG through the audio path.
     """
-    dims = _png_dims(payload)
+    dims = _png_dims(payload) or _jpeg_dims(payload)
     if dims is not None:
         return dims[0], dims[1], 0
     dur = _wav_duration_ms(payload)
@@ -155,7 +208,7 @@ def _features(kind: str, payload: bytes, deterministic_fake: bool) -> tuple[int,
         return 0, 0, dur
     if not deterministic_fake:
         raise NotImplementedError(
-            f"payload is neither PNG nor WAV and no other media decoder is "
+            f"payload is none of PNG/JPEG/WAV and no other media decoder is "
             f"available in this environment (kind={kind!r}); "
             "set deterministic_fake=True for a deterministic stub"
         )

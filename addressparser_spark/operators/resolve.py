@@ -226,25 +226,19 @@ def merge_registry(
     return registry.unionByName(registry_additions(resolved, profiles, registry))
 
 
-def merge_registry_cascade(
+def cascade_registry_additions(
     resolved: DataFrame, profiles: DataFrame, registry: DataFrame | None = None
 ) -> DataFrame:
-    """Cascade-registry MERGE emulation: existing rows kept verbatim; this
-    batch's NEW entities (``resolve_stage == 'new'``) enter at FULL key
-    strength (sig + prefix_key + syn_key of the cluster representative), so
-    a later batch can hit them at any stage of the funnel.
-
-    Same Iceberg note as :func:`merge_registry`: in production this is one
-    ``MERGE INTO`` on ``entity_id``; anti-join+union is the engine-agnostic
-    equivalent. Entities resolved at a weaker stage ('prefix'/'synonym')
-    are NOT re-keyed — the registry keeps its original entry, mirroring the
-    reference's crosswalk which never rewrites a resolved row
-    (``Db/DataContextBase_Address.cs:131-173``).
+    """This batch's NEW entities (``resolve_stage == 'new'``), keyed at FULL
+    strength (sig + prefix_key + syn_key of the cluster representative), so a
+    later batch can hit them at any stage of the funnel. Rows already in the
+    registry (by ``entity_id``) are excluded — this is the USING side of the
+    production ``MERGE INTO``, O(batch) regardless of registry size.
     """
     spark = resolved.sparkSession
     if registry is None:
         registry = spark.createDataFrame([], CASCADE_REGISTRY_SCHEMA)
-    additions = (
+    return (
         resolved.filter(
             (F.col("resolve_stage") == "new")
             & (F.col("conv_id") == F.col("cluster_id"))
@@ -260,4 +254,25 @@ def merge_registry_cascade(
         .dropDuplicates(["entity_id"])
         .join(registry.select("entity_id"), "entity_id", "left_anti")
     )
-    return registry.unionByName(additions)
+
+
+def merge_registry_cascade(
+    resolved: DataFrame, profiles: DataFrame, registry: DataFrame | None = None
+) -> DataFrame:
+    """Cascade-registry MERGE emulation: existing rows kept verbatim; this
+    batch's additions (see :func:`cascade_registry_additions`) appended.
+
+    Same Iceberg note as :func:`merge_registry`: in production this is one
+    ``MERGE INTO`` on ``entity_id`` (see ``sources/registry_writer.py`` for
+    the pluggable writer seam); anti-join+union is the engine-agnostic
+    equivalent. Entities resolved at a weaker stage ('prefix'/'synonym')
+    are NOT re-keyed — the registry keeps its original entry, mirroring the
+    reference's crosswalk which never rewrites a resolved row
+    (``Db/DataContextBase_Address.cs:131-173``).
+    """
+    spark = resolved.sparkSession
+    if registry is None:
+        registry = spark.createDataFrame([], CASCADE_REGISTRY_SCHEMA)
+    return registry.unionByName(
+        cascade_registry_additions(resolved, profiles, registry)
+    )

@@ -35,18 +35,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.tokens import distinct_shingles_col
+from ..functions.tokens import distinct_shingles_col, stem_tokens_col
 
 RARE_DF_CAP = 10
 ANCHOR_TOKENS = 8
 INDEX_SHINGLE_K = 3
 
 
-def token_index(profiles: DataFrame) -> DataFrame:
-    """(conv_id, key): distinct-shingle inverted index."""
+def token_index(profiles: DataFrame, stem: bool = True) -> DataFrame:
+    """(conv_id, key): distinct-shingle inverted index.
+
+    Tokens are suffix-stemmed before shingling (``stem_tokens_col``), so
+    inflectional variants collide in the same index bucket — the stemming
+    arm of the reference's full-text ``CONTAINS`` candidate fetch
+    (``Db/DataContextBase_AddrObject.cs:115-141``). The verbatim
+    ``contains`` post-filter downstream is unchanged: stemming widens the
+    candidate fetch, verification stays exact (same fetch-wide/verify-exact
+    split as the reference's CONTAINS -> LIKE).
+    """
+    toks = stem_tokens_col(F.col("tokens")) if stem else F.col("tokens")
     return profiles.select(
         "conv_id",
-        F.explode(distinct_shingles_col(F.col("tokens"), INDEX_SHINGLE_K)).alias("key"),
+        F.explode(distinct_shingles_col(toks, INDEX_SHINGLE_K)).alias("key"),
     )
 
 

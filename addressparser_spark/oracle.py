@@ -17,7 +17,8 @@ from .functions.normalize import normalize_sql_duckdb
 from .operators.blocking import NUM_HASHES, PREFIX_TURNS, ROWS_PER_BAND, SHINGLE_K
 from .operators.pairs import MAX_BLOCK_SIZE
 from .operators.scoring import CONTAIN_NEAR, JACCARD_NEAR, JACCARD_PARTIAL, VERDICT_RANK
-from .operators.substring_join import ANCHOR_TOKENS, RARE_DF_CAP
+from .data.stemming import stem_case_sql
+from .operators.substring_join import ANCHOR_TOKENS, INDEX_SHINGLE_K, RARE_DF_CAP
 
 NORM_TURNS_CTE = f"""
 norm_turns AS (
@@ -392,11 +393,27 @@ FROM block_n WHERE n > {MAX_BLOCK_SIZE}""",
 
 
 SUBSTRING_CTE = f"""
+stem_lists AS (
+  -- heavy-mode index keys are derived from STEMMED tokens (same rule table
+  -- as stem_tokens_col) so inflected variants collide in a bucket; the
+  -- minhash path's conv_shingles stays unstemmed
+  SELECT conv_id, list_transform(toks, t -> {stem_case_sql('t')}) AS stoks
+  FROM tok_lists
+),
+sub_shingles AS (
+  SELECT conv_id,
+         unnest(list_distinct(
+           CASE WHEN len(stoks) <= {INDEX_SHINGLE_K} THEN [array_to_string(stoks, ' ')]
+                ELSE list_transform(range(1, len(stoks) - {INDEX_SHINGLE_K - 2}),
+                                    i -> array_to_string(stoks[i:i+{INDEX_SHINGLE_K - 1}], ' '))
+           END)) AS s
+  FROM stem_lists
+),
 key_df AS (
-  SELECT s AS key, count(*) AS df FROM conv_shingles GROUP BY s
+  SELECT s AS key, count(*) AS df FROM sub_shingles GROUP BY s
 ),
 rare AS (
-  SELECT i.conv_id, i.s AS key FROM conv_shingles i JOIN key_df d ON d.key = i.s
+  SELECT i.conv_id, i.s AS key FROM sub_shingles i JOIN key_df d ON d.key = i.s
   WHERE d.df <= {RARE_DF_CAP}
 ),
 sub_cand AS (
@@ -432,10 +449,11 @@ WHERE contains(pa.concat_text, pb.anchor) OR contains(pb.concat_text, pa.anchor)
 def hot_index_keys_sql() -> str:
     return _assemble(
         f"""SELECT s AS key, CAST(count(*) AS BIGINT) AS df
-FROM conv_shingles GROUP BY s HAVING count(*) > {RARE_DF_CAP}""",
+FROM sub_shingles GROUP BY s HAVING count(*) > {RARE_DF_CAP}""",
         NORM_TURNS_CTE,
         PROFILES_CTE,
         SHINGLES_CTE,
+        SUBSTRING_CTE,
     )
 
 

@@ -57,6 +57,47 @@ def test_hot_key_detection(spark):
     assert hot == {"hot"}
 
 
+def test_salted_join_balances_hot_block(spark):
+    """Pathological blocking key: one block holds ~80% of candidate-pair rows.
+
+    With AQE off and broadcast off (the regime where explicit salting is the
+    only defense — dim too big to broadcast, runtime skew split unavailable),
+    a plain shuffle join lands the whole hot block in ONE reducer partition;
+    salted_join spreads it across the salt space. partition_histogram is the
+    same lineage signal the pipeline emits for skew diagnosis.
+    """
+    from addressparser_spark.plans.pipeline import partition_histogram
+
+    n = 40_000
+    facts = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 != 0, "block_hot")
+        .otherwise(F.concat(F.lit("b"), (F.col("id") % 97).cast("string")))
+        .alias("key"),
+    )
+    dim = facts.select("key").distinct().withColumn("label", F.upper("key"))
+    conf = spark.conf
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        h_plain = partition_histogram(facts.join(dim, "key"))
+        h_salted = partition_histogram(
+            salted_join(facts, dim, "key", "id", threshold=1000)
+        )
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+    def top_share(h):
+        return max(r["rows"] for r in h) / sum(r["rows"] for r in h)
+
+    assert sum(r["rows"] for r in h_salted) == sum(r["rows"] for r in h_plain)
+    assert top_share(h_plain) > 0.5  # hot block swamps one reducer
+    assert top_share(h_salted) < 0.3  # salted: no partition dominates
+
+
 def test_salt_spreads_hot_key(spark):
     df = _skewed(spark).filter(F.col("key") == "hot")
     n_salts = 16

@@ -143,6 +143,32 @@ def test_real_png_wav_decode(spark):
     assert _wav_duration_ms(b"RIFFxxxxNOPE" + bytes(32)) is None
 
 
+def test_real_jpeg_decode(spark):
+    """JPEG payloads decode to TRUE dimensions via the SOF segment walk —
+    the stub surface shrinks to video only."""
+    from addressparser_spark.operators.multimodal import _jpeg_dims, make_jpeg
+
+    rows = [
+        (1, "image", make_jpeg(1024, 768), (len(make_jpeg(1024, 768)), "image/jpeg", "t")),
+        # mislabeled kind: magic bytes win over the metadata column
+        (2, "audio", make_jpeg(16, 16), (len(make_jpeg(16, 16)), "image/jpeg", "t")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r
+        for r in decode_media(media, deterministic_fake=False).collect()
+    }
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["duration_ms"]) == (1024, 768, 0)
+    assert (feats[2]["width"], feats[2]["height"]) == (16, 16)
+
+    # parser unit checks: truncation/garbage/EOI-first are rejected
+    assert _jpeg_dims(make_jpeg(7, 9)) == (7, 9)
+    assert _jpeg_dims(make_jpeg(7, 9)[:6]) is None
+    assert _jpeg_dims(b"\xff\xd8\xff\xd9") is None
+    assert _jpeg_dims(b"not a jpeg, just 24+ bytes long....") is None
+    assert _png_dims(make_jpeg(7, 9)) is None
+
+
 def test_media_decode_stub_raises(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3)
     media = media_from_documents(docs)
