@@ -27,16 +27,20 @@ def read_parallel(spark: SparkSession, path: str) -> DataFrame:
 
     A single small file yields ONE scan partition, serializing all
     downstream per-row expression work onto a single core (measured 3x on
-    the sf0.1 profile build). When the scan's natural parallelism is below
-    the cluster's default parallelism, repartition up; the partition-count
-    check is plan-only (no job), and at production scale the file count
-    exceeds the core count so the branch never fires — no shuffle is added
-    where the scan already parallelizes. Filters still push to the scan
-    (Catalyst pushes predicates through Repartition).
+    the sf0.1 profile build). When the scan's file-level parallelism is
+    below the cluster's default parallelism, repartition up; the check is
+    driver-side metadata only (``inputFiles`` — no job, no Python->JVM RDD
+    conversion), and at production scale the file count exceeds the core
+    count so the branch never fires — no shuffle is added where the scan
+    already parallelizes. (Files larger than ``maxPartitionBytes`` split
+    into more scan partitions than files, so the file count is a lower
+    bound — under-counting can only add the repartition, never skip a
+    needed one.) Filters still push to the scan (Catalyst pushes
+    predicates through Repartition).
     """
     df = spark.read.parquet(path)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         df = df.repartition(target)
     return df
 
