@@ -1,0 +1,97 @@
+"""The bench's scaling-headline selection policy, tested without Spark.
+
+BENCH_r{N}.json is a per-round deliverable produced by bench.py's policy
+code; a bug there costs a whole round, so the selection logic is module-level
+and covered here with synthetic round dicts. The invariants:
+
+- a burst that inflates a SMALL pass (slope inflation) is rejected by the
+  stability gate, so it can never become the headline;
+- a burst that slows an N (denominator) side is rejected by the 10% N-slope
+  band, so a spuriously HIGH ratio can never become the headline;
+- clean rounds -> median of them, with the clean max as a secondary figure;
+- no clean rounds -> median of all rounds, no clean-window figure.
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def mk_side(cores, sec_small, sec, pairs_small=719_535, pairs=5_731_080,
+            runs_small=None):
+    return {
+        "cores": cores,
+        "pairs_small": pairs_small, "sec_small": sec_small,
+        "pairs": pairs, "sec": sec,
+        "runs_small": runs_small or [(pairs_small, sec_small)] * 3,
+        "runs": [(pairs, sec)],
+    }
+
+
+def mk_round(n_small, n_large, n4_small, n4_large, n4_runs_small=None):
+    n = mk_side(4, n_small, n_large)
+    n4 = mk_side(16, n4_small, n4_large, runs_small=n4_runs_small)
+    return {
+        "n": n, "n4": n4,
+        "eff": round(bench._slope(n4) / (bench._slope(n) * 4.0), 3),
+        "stable": bench._side_stable(n) and bench._side_stable(n4),
+    }
+
+
+CLEAN = dict(n_small=12.5, n_large=94.0, n4_small=4.6, n4_large=29.9)
+
+
+def test_clean_round_is_stable_and_efficient():
+    r = mk_round(**CLEAN)
+    assert r["stable"]
+    assert 0.8 < r["eff"] <= 1.1
+
+
+def test_burst_on_small_pass_fails_stability_gate():
+    # small pass inflated to near the large pass: delta no longer dominates,
+    # slope would be wildly inflated — the gate must reject it
+    r = mk_round(n_small=12.5, n_large=94.0, n4_small=23.0, n4_large=29.9,
+                 n4_runs_small=[(719_535, 23.0), (719_535, 24.0), (719_535, 23.5)])
+    assert not r["stable"]
+    assert r["eff"] > 2  # the inflation the gate exists to reject
+
+
+def test_uncorroborated_small_min_fails_spread_check():
+    # one lucky fast rep among slow ones: min not corroborated
+    r = mk_round(n_small=12.5, n_large=94.0, n4_small=4.6, n4_large=29.9,
+                 n4_runs_small=[(719_535, 4.6), (719_535, 23.1), (719_535, 50.7)])
+    assert not r["stable"]
+
+
+def test_headline_is_median_of_clean_rounds():
+    rounds = [
+        mk_round(**CLEAN),                                        # eff ~0.95
+        mk_round(n_small=12.5, n_large=94.0, n4_small=4.6, n4_large=33.0),
+        mk_round(n_small=12.5, n_large=94.0, n4_small=4.6, n4_large=31.0),
+    ]
+    headline, clean_max, clean = bench._select_headline(rounds)
+    assert len(clean) == 3
+    effs = sorted(r["eff"] for r in rounds)
+    assert headline["eff"] == effs[1]          # the median, not the max
+    assert clean_max == effs[-1]               # max kept as secondary figure
+
+
+def test_slowed_denominator_round_excluded_from_headline():
+    # round 2's N side caught a burst (large pass 3x slower): its ratio is
+    # spuriously HIGH; the 10% N-slope band must exclude it
+    slow_n = mk_round(n_small=12.5, n_large=280.0, n4_small=4.6, n4_large=29.9)
+    clean = mk_round(**CLEAN)
+    assert slow_n["eff"] > clean["eff"]
+    headline, _, kept = bench._select_headline([clean, slow_n])
+    assert slow_n not in kept
+    assert headline is clean
+
+
+def test_no_clean_rounds_falls_back_to_median_of_all():
+    r1 = mk_round(n_small=12.5, n_large=94.0, n4_small=23.0, n4_large=29.9,
+                  n4_runs_small=[(719_535, 23.0), (719_535, 24.0), (719_535, 23.5)])
+    r2 = mk_round(n_small=12.5, n_large=94.0, n4_small=24.0, n4_large=29.9,
+                  n4_runs_small=[(719_535, 24.0), (719_535, 25.0), (719_535, 24.5)])
+    headline, clean_max, kept = bench._select_headline([r1, r2])
+    assert kept == [] and clean_max is None
+    assert headline in (r1, r2)
