@@ -242,8 +242,20 @@ def _scaling_worker(cores: int) -> None:
     # times (default 1 — round-level repetition handles its noise).
     small_f = max(1, PAIR_FANOUT // 8)
     small_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL_REPS", "3"))
+    # The 4N side's LARGE pass is the deflation victim (a burst there can
+    # only understate efficiency) and it is cheap (~30s clean vs ~90s for
+    # the N side), so it repeats with min taken — min over reps approaches
+    # the uncontended time from above, never below, preserving the
+    # lower-bound property while recovering clean windows from the
+    # intermittent bursts this VM actually has. The N side keeps one large
+    # pass: its protection is the cross-round N-slope band + stability gate
+    # (an N-side slowdown inflates the ratio and gets the round excluded).
+    if cores == SCALING_CORES[1]:
+        large_reps = int(os.environ.get("SPARK_GRAFT_BENCH_N4_LARGE_REPS", "3"))
+    else:
+        large_reps = WORKER_RUNS
     runs_small = [_timed(small_f) for _ in range(max(1, small_reps))]
-    runs_large = [_timed(PAIR_FANOUT) for _ in range(max(1, WORKER_RUNS))]
+    runs_large = [_timed(PAIR_FANOUT) for _ in range(max(1, large_reps))]
     ps, sec_small = min(runs_small, key=lambda r: r[1])
     n_pairs, sec = min(runs_large, key=lambda r: r[1])
     print(json.dumps({
@@ -330,11 +342,29 @@ def _run_scaling() -> dict:
     round's raw pass times (side file) are reported alongside for audit.
     """
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_ROUNDS", "3"))
     n, n4 = SCALING_CORES
+
+    # A stable round below this efficiency is physically implausible for
+    # this binary (16 cores slower than 4 on the same input — measured clean
+    # rounds sit at 0.8-0.95, intrinsic bus saturation >=0.78): it means the
+    # burst sat on the 4N side for the whole worker. If, after the base
+    # repeats, no round clears the floor, run extra rounds while the budget
+    # lasts — during an intermittent burst some later window lands clean; a
+    # multi-hour saturating burst exhausts the budget and the deflated
+    # lower-bound rounds (plus raw times in the side file) tell that story.
+    PLAUSIBLE_EFF = 0.4
 
     rounds = []
     phase_t0 = time.monotonic()
-    for _ in range(repeats):
+    while True:
+        done = len(rounds)
+        if done >= repeats + extra:
+            break
+        if done >= repeats and any(
+            r["stable"] and r["eff"] >= PLAUSIBLE_EFF for r in rounds
+        ):
+            break
         if rounds and time.monotonic() - phase_t0 > SCALING_BUDGET:
             break  # burst regime: keep completed rounds, stay in budget
         rn = _scaling_round(n)
@@ -369,6 +399,12 @@ def _run_scaling() -> dict:
         ),
         "clean_window_max_efficiency": clean_max,
         "n_clean_rounds": len(n_clean),
+        # True when every round sits below the physical-plausibility floor
+        # (16 cores "slower" than 4): the whole phase ran inside a burst and
+        # the reported efficiency is a DEFLATED lower bound, not the engine
+        "all_rounds_implausible_burst": all(
+            r["eff"] < PLAUSIBLE_EFF for r in rounds
+        ),
         "median_round_efficiency": median_all["eff"],
         "round_efficiencies": [r["eff"] for r in rounds],
         "rounds": rounds,  # spilled to the side file by main(), not stdout
