@@ -5,14 +5,17 @@ column with a typed metadata struct; decode/feature-extract runs as
 Arrow-batched ``mapInPandas`` so each task streams batches without
 materializing whole partitions.
 
-Three container formats are decoded FOR REAL with pure-stdlib parsers (no
-image/audio libraries needed): PNG (IHDR width/height, signature + chunk
-walk), JPEG (segment walk to the SOF frame header), and WAV (RIFF chunk
-walk, duration from data size / fmt byte rate). Payloads in any other
-format (video) fall back to a deterministic md5-derived stub when
-``deterministic_fake`` is set, else raise ``NotImplementedError`` — the Spark
-plumbing (schema, batching, partitioning, UDF signatures) is identical on
-every path, so swapping in PIL/ffmpeg later changes only the per-row parse.
+Four container formats are decoded FOR REAL with pure-stdlib parsers (no
+image/audio/video libraries needed): PNG (IHDR width/height, signature +
+chunk walk), JPEG (segment walk to the SOF frame header), WAV (RIFF chunk
+walk, duration from data size / fmt byte rate), and MP4/ISO-BMFF (box-tree
+walk: ``mvhd`` timescale+duration for duration_ms, ``tkhd`` 16.16
+fixed-point width/height). Payloads in none of those containers fall back
+to a deterministic md5-derived stub when ``deterministic_fake`` is set,
+else raise ``NotImplementedError`` — the Spark plumbing (schema, batching,
+partitioning, UDF signatures) is identical on every path, so swapping in
+PIL/ffmpeg later changes only the per-row parse (pixel/sample decode;
+every header-level fact is already real).
 """
 
 from __future__ import annotations
@@ -142,6 +145,78 @@ def _wav_duration_ms(payload: bytes) -> int | None:
     return round(data_size * 1000 / byte_rate)
 
 
+def _mp4_boxes(buf: bytes, off: int, end: int):
+    """Yield (type, body_start, box_end) for each ISO-BMFF box in [off, end).
+
+    Box header is a big-endian uint32 size + 4-byte type; size==1 means a
+    64-bit largesize follows, size==0 means "to end of enclosing box".
+    Stops (rather than raising) on any malformed header — the caller treats
+    an incomplete walk as "not an MP4".
+    """
+    while off + 8 <= end:
+        (size,) = struct.unpack(">I", buf[off : off + 4])
+        btype = buf[off + 4 : off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[off + 8 : off + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            return
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _mp4_meta(payload: bytes) -> tuple[int, int, int] | None:
+    """(width, height, duration_ms) from an MP4's moov box; None if not MP4.
+
+    ISO base-media files open with an ``ftyp`` box; metadata lives under
+    ``moov``: ``mvhd`` carries movie timescale (ticks/sec) and duration in
+    ticks, ``trak``/``tkhd`` carries presentation width/height as 16.16
+    fixed-point. A pure header walk — no sample tables, no codec data —
+    the same cost class as the PNG/JPEG/WAV parsers above.
+    """
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    width = height = duration_ms = None
+    for btype, body, bend in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in _mp4_boxes(payload, body, bend):
+            if ctype == b"mvhd" and cend - cbody >= 20:
+                version = payload[cbody]
+                if version == 1 and cend - cbody >= 32:
+                    timescale, duration = struct.unpack(
+                        ">IQ", payload[cbody + 20 : cbody + 32]
+                    )
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", payload[cbody + 12 : cbody + 20]
+                    )
+                if timescale:
+                    duration_ms = round(duration * 1000 / timescale)
+            elif ctype == b"trak" and width is None:
+                for ttype, tbody, tend in _mp4_boxes(payload, cbody, cend):
+                    if ttype != b"tkhd":
+                        continue
+                    version = payload[tbody]
+                    # v0: ver/flags 4 + times/id/reserved/duration 20 +
+                    # reserved 8 + layer/alt/volume/reserved 8 + matrix 36
+                    # = width at byte 76; v1 widens the two times and the
+                    # duration to 64-bit (+12).
+                    fixed = tbody + (88 if version == 1 else 76)
+                    if tend - fixed >= 8:
+                        w_fp, h_fp = struct.unpack(">II", payload[fixed : fixed + 8])
+                        width, height = w_fp >> 16, h_fp >> 16
+                    break
+    if duration_ms is None:
+        return None
+    return width or 0, height or 0, duration_ms
+
+
 def make_png(width: int, height: int) -> bytes:
     """Build a minimal VALID 8-bit grayscale PNG (test fixture / synthesizer)."""
 
@@ -184,6 +259,42 @@ def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
     )
 
 
+def make_mp4(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Build a minimal structurally-valid MP4 header (test fixture):
+    ftyp + moov(mvhd + trak(tkhd)). No media data — header facts only."""
+
+    def box(btype: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data) + 8) + btype + data
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification time
+        + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + bytes(10)  # reserved
+        + matrix
+        + bytes(24)  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0, flags: enabled|in_movie|in_preview
+        + struct.pack(">IIII", 0, 0, 1, 0)  # times, track_ID, reserved
+        + struct.pack(">I", duration_ms * timescale // 1000)
+        + bytes(8)  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, alt_group, volume, reserved
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed point
+    )
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+
+
 def _fake_features(kind: str, payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a real decoder: dims/duration from bytes."""
     h = hashlib.md5(payload).digest()
@@ -206,10 +317,13 @@ def _features(kind: str, payload: bytes, deterministic_fake: bool) -> tuple[int,
     dur = _wav_duration_ms(payload)
     if dur is not None:
         return 0, 0, dur
+    mp4 = _mp4_meta(payload)
+    if mp4 is not None:
+        return mp4
     if not deterministic_fake:
         raise NotImplementedError(
-            f"payload is none of PNG/JPEG/WAV and no other media decoder is "
-            f"available in this environment (kind={kind!r}); "
+            f"payload is none of PNG/JPEG/WAV/MP4 and no other media decoder "
+            f"is available in this environment (kind={kind!r}); "
             "set deterministic_fake=True for a deterministic stub"
         )
     return _fake_features(kind, payload)
@@ -218,11 +332,12 @@ def _features(kind: str, payload: bytes, deterministic_fake: bool) -> tuple[int,
 def decode_media(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``.
 
-    PNG and WAV payloads are decoded for real (pure-stdlib header parses,
-    see ``_png_dims`` / ``_wav_duration_ms``); other formats use the
-    deterministic stub or raise. Real deployment: add PIL/librosa/ffmpeg
-    branches inside the same batch loop — the Arrow batch shape, output
-    schema, and partitioning are identical.
+    PNG, JPEG, WAV, and MP4 payloads are decoded for real (pure-stdlib
+    header parses, see ``_png_dims`` / ``_jpeg_dims`` / ``_wav_duration_ms``
+    / ``_mp4_meta``); anything else uses the deterministic stub or raises.
+    Real deployment: add PIL/librosa/ffmpeg branches inside the same batch
+    loop — the Arrow batch shape, output schema, and partitioning are
+    identical.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

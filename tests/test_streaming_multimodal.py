@@ -144,8 +144,7 @@ def test_real_png_wav_decode(spark):
 
 
 def test_real_jpeg_decode(spark):
-    """JPEG payloads decode to TRUE dimensions via the SOF segment walk —
-    the stub surface shrinks to video only."""
+    """JPEG payloads decode to TRUE dimensions via the SOF segment walk."""
     from addressparser_spark.operators.multimodal import _jpeg_dims, make_jpeg
 
     rows = [
@@ -167,6 +166,37 @@ def test_real_jpeg_decode(spark):
     assert _jpeg_dims(b"\xff\xd8\xff\xd9") is None
     assert _jpeg_dims(b"not a jpeg, just 24+ bytes long....") is None
     assert _png_dims(make_jpeg(7, 9)) is None
+
+
+def test_real_mp4_decode(spark):
+    """MP4 payloads decode to TRUE width/height/duration via the moov box
+    walk — every media kind (image/audio/video) now has a real parser."""
+    from addressparser_spark.operators.multimodal import _mp4_meta, make_mp4
+
+    clip = make_mp4(640, 480, 12500)
+    hd = make_mp4(1920, 1080, 7333, timescale=90000)
+    rows = [
+        (1, "video", clip, (len(clip), "video/mp4", "t")),
+        # mislabeled kind: magic bytes win over the metadata column
+        (2, "image", hd, (len(hd), "video/mp4", "t")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r
+        for r in decode_media(media, deterministic_fake=False).collect()
+    }
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["duration_ms"]) == (640, 480, 12500)
+    assert (feats[2]["width"], feats[2]["height"], feats[2]["duration_ms"]) == (1920, 1080, 7333)
+
+    # parser unit checks: truncation/garbage never crash, non-MP4 rejects
+    assert _mp4_meta(clip) == (640, 480, 12500)
+    for i in range(0, len(clip), 7):
+        _mp4_meta(clip[:i])  # must not raise
+    assert _mp4_meta(b"not an mp4, merely 24+ bytes long....") is None
+    assert _mp4_meta(b"") is None
+    # frame_sample consumes the REAL duration: 12500ms / 5000ms steps -> 3 offsets
+    frames = frame_sample(media.filter(F.col("kind") == "video"), every_ms=5000)
+    assert frames.count() == 3
 
 
 def test_media_decode_stub_raises(spark, sf_dir):
