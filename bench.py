@@ -306,6 +306,18 @@ def _side_stable(r: dict) -> bool:
     return spread_ok and delta_ok
 
 
+def _cap_efficiency(eff: float) -> float:
+    """Reported headline efficiency, capped at 1.0.
+
+    For the same binary on the same input, >4x throughput from 4x cores is
+    physically impossible; a measured ratio above 1 means interference
+    slowed the N (denominator) side during that round. The cap is therefore
+    the honest upper bound — the raw measurement is reported alongside
+    (`raw_headline_efficiency`) for audit.
+    """
+    return min(eff, 1.0)
+
+
 def _select_headline(rounds: list[dict]) -> tuple[dict, float | None, list[dict]]:
     """(headline round, clean-window max eff or None, certified-clean rounds).
 
@@ -392,10 +404,13 @@ def _run_scaling() -> dict:
         f"local{n}_pairs_per_sec": round(_slope(headline["n"]), 1),
         f"local{n4}_pairs_per_sec": round(_slope(headline["n4"]), 1),
         "throughput_estimator": "marginal (slope between the two pass sizes)",
-        "scaling_efficiency": headline["eff"],
+        "scaling_efficiency": _cap_efficiency(headline["eff"]),
+        "raw_headline_efficiency": headline["eff"],
         "scaling_policy": (
             "median over certified-clean rounds (N-side slope within 10% of "
-            "best + small-pass stability gate on both sides)"
+            "best + small-pass stability gate on both sides); reported value "
+            "capped at 1.0 (above 1 means N-side interference deflated the "
+            "denominator, not superlinear scaling)"
         ),
         "clean_window_max_efficiency": clean_max,
         "n_clean_rounds": len(n_clean),

@@ -87,6 +87,13 @@ def test_slowed_denominator_round_excluded_from_headline():
     assert headline is clean
 
 
+def test_reported_efficiency_capped_at_one():
+    # an N-side burst makes the raw ratio superlinear; the REPORTED headline
+    # must never exceed 1.0 (raw value stays available for audit)
+    assert bench._cap_efficiency(1.468) == 1.0
+    assert bench._cap_efficiency(0.895) == 0.895
+
+
 def test_no_clean_rounds_falls_back_to_median_of_all():
     r1 = mk_round(n_small=12.5, n_large=94.0, n4_small=23.0, n4_large=29.9,
                   n4_runs_small=[(719_535, 23.0), (719_535, 24.0), (719_535, 23.5)])
