@@ -27,9 +27,18 @@ even-numbered conversation emits one variant conversation under a new id:
 - ``conv_num % 6 == 2`` -> ``*_v2``: doubled spaces + ' ???' (exact dup after normalize)
 - ``conv_num % 6 == 4`` -> ``*_v3``: first 3 turns only      (resumption: near-dup)
 
+Adversarial hard-negative injection (evidences the PRECISION side of the
+F1 metric — a blocking stage that over-merges must be caught by labeled
+negatives, not just by the organic near-absence of key collisions):
+
+- ``conv_num % 6 == 1`` -> ``*_d1``: first 2 turns identical (same prefix
+  blocking key -> guaranteed candidate pair), later turns scrambled
+  (see :func:`_distractor_text`) -> must NOT match. Ground truth keeps
+  ``*_d1`` as its OWN entity.
+
 So ground truth: ``conv_XXXXXX`` and ``conv_XXXXXX_vK`` are the same entity;
-cluster representative = the base conv_id (min by string order, since
-``x < x_v1``).
+``conv_XXXXXX_d1`` is its own entity; cluster representative = the base
+conv_id (min by string order, since ``x < x_v1``).
 """
 
 from __future__ import annotations
@@ -39,6 +48,36 @@ from pyspark.sql import functions as F
 
 TURNS_PER_CONV = 5
 _EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+# Distractor prefix window. MUST equal operators.blocking.PREFIX_TURNS (not
+# imported here to keep data/ free of operators/ imports; synced by
+# tests/test_distractors.py): the distractor's first DISTRACTOR_PREFIX_TURNS
+# turns stay byte-identical to its base so the pair is GUARANTEED to share the
+# prefix blocking key and enter the candidate set as a labeled hard negative.
+DISTRACTOR_PREFIX_TURNS = 2
+
+
+def _distractor_text():
+    """Per-turn text of the ``_d1`` hard-negative distractor.
+
+    Turns ``< DISTRACTOR_PREFIX_TURNS``: identical to the base turn (forces
+    prefix-key co-blocking). Later turns: two junk streams of the same turn —
+    char-reversed text plus vowel->digit translated text. Both survive
+    normalization, both are token-disjoint from the corpus vocabulary (every
+    vocab word contains a vowel; only the palindromic 'a' round-trips, and a
+    3-token shingle can't be built from it), so the shared shingle region is
+    pinned to the first two turns. Worst-case conv-level containment is
+    |S(t0,t1)| / (|S(t0,t1)| + 2*|S(t2..t4)|) <= ~0.8 even at the extreme
+    turn-length mix in the corpus (48..553 chars) — strictly below the 0.9
+    near-dup/resumption match thresholds, so a correct scorer must REJECT
+    every (base, _d1) candidate pair: they are the labeled negatives the
+    precision term of the BASELINE F1 metric is evidenced on.
+    """
+    junk = F.concat(
+        F.reverse(F.col("text")), F.lit(" "),
+        F.translate(F.col("text"), "aeiou", "01234"),
+    )
+    return F.when(F.col("turn_idx") < DISTRACTOR_PREFIX_TURNS, F.col("text")).otherwise(junk)
 
 # ---------------------------------------------------------------------------
 # Spark side
@@ -99,6 +138,8 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.concat(F.regexp_replace(F.col("text"), " ", "  "), F.lit(" ???")))),
         F.when((conv_num % 6 == 4) & (turn_idx < 3),
                row(F.concat(F.col("conv_id"), F.lit("_v3")), F.col("text"))),
+        F.when(conv_num % 6 == 1,
+               row(F.concat(F.col("conv_id"), F.lit("_d1")), _distractor_text())),
     )
     return (
         base.select(F.explode(F.filter(rows, lambda r: r.isNotNull())).alias("r"))
@@ -146,6 +187,12 @@ transcripts AS (
   UNION ALL
   SELECT conv_id || '_v3', turn_idx, role, text, tool, ts
   FROM base_turns WHERE conv_num % 6 = 4 AND turn_idx < 3
+  UNION ALL
+  SELECT conv_id || '_d1', turn_idx, role,
+         CASE WHEN turn_idx < 2 THEN text
+              ELSE reverse(text) || ' ' || translate(text, 'aeiou', '01234') END,
+         tool, ts
+  FROM base_turns WHERE conv_num % 6 = 1
 )
 """
 

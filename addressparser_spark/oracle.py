@@ -333,7 +333,8 @@ joined AS (
 counts AS (
   SELECT CAST(sum(CASE WHEN is_match AND pred_match THEN 1 ELSE 0 END) AS BIGINT) AS tp,
          CAST(sum(CASE WHEN NOT is_match AND pred_match THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         CAST(sum(CASE WHEN is_match AND NOT pred_match THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         CAST(sum(CASE WHEN is_match AND NOT pred_match THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT is_match AND NOT pred_match THEN 1 ELSE 0 END) AS BIGINT) AS tn
   FROM joined
 )
 """
@@ -341,7 +342,7 @@ counts AS (
 
 def eval_f1_sql() -> str:
     return _assemble(
-        """SELECT tp, fp, fn,
+        """SELECT tp, fp, fn, tn,
        round(CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
        round(CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
        round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp / CAST(tp + fp AS DOUBLE) END)

@@ -57,6 +57,10 @@ def pairwise_f1(
         F.sum(F.when(F.col("is_match") & F.col("pred_match"), 1).otherwise(0)).alias("tp"),
         F.sum(F.when(~F.col("is_match") & F.col("pred_match"), 1).otherwise(0)).alias("fp"),
         F.sum(F.when(F.col("is_match") & ~F.col("pred_match"), 1).otherwise(0)).alias("fn"),
+        # tn makes the labeled-NEGATIVE denominator visible: precision=1.0 is
+        # only evidence if the candidate space contains pairs that must NOT
+        # match (the injected _d1 distractors guarantee it does)
+        F.sum(F.when(~F.col("is_match") & ~F.col("pred_match"), 1).otherwise(0)).alias("tn"),
     )
     prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(1.0)).otherwise(
         F.col("tp") / (F.col("tp") + F.col("fp"))
@@ -68,6 +72,7 @@ def pairwise_f1(
         "tp",
         "fp",
         "fn",
+        "tn",
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
         F.round(

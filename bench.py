@@ -439,7 +439,7 @@ def main() -> None:
     import __spark_entry__ as entry
     f1_row = entry.queries()["er_eval_f1"](spark, SF_DIR).collect()[0]
     f1 = {k: (float(f1_row[k]) if k in ("precision", "recall", "f1") else int(f1_row[k]))
-          for k in ("tp", "fp", "fn", "precision", "recall", "f1")}
+          for k in ("tp", "fp", "fn", "tn", "precision", "recall", "f1")}
     spark.stop()
 
     scaling = None

@@ -23,8 +23,8 @@ def test_link_twice_resolves_from_registry(spark, tmp_path, capsys):
 
     cli.main(["link", "--input", tdir, "--output", str(out)])
     m1 = json.loads(open(out / "metrics.json").read())
-    assert m1["resolve_stages"] == {"new": 150}
-    assert m1["n_clusters"] == 100
+    assert m1["resolve_stages"] == {"new": 167}
+    assert m1["n_clusters"] == 117  # 100 base + 17 _d1 hard-negative singletons
 
     r1 = {
         (r["conv_id"], r["entity_id"])
@@ -38,7 +38,7 @@ def test_link_twice_resolves_from_registry(spark, tmp_path, capsys):
     shutil.copytree(out / "registry", out2 / "registry")
     cli.main(["link", "--input", tdir, "--output", str(out2)])
     m2 = json.loads(open(out2 / "metrics.json").read())
-    assert m2["resolve_stages"] == {"sig": 150}
+    assert m2["resolve_stages"] == {"sig": 167}
 
     r2 = {
         (r["conv_id"], r["entity_id"])
@@ -49,5 +49,5 @@ def test_link_twice_resolves_from_registry(spark, tmp_path, capsys):
     # registry is stable: run 2 added nothing
     reg1 = spark.read.parquet(str(out / "registry"))
     reg2 = spark.read.parquet(str(out2 / "registry"))
-    assert reg1.count() == reg2.count() == 100
+    assert reg1.count() == reg2.count() == 117
     assert set(reg2.columns) >= {"entity_id", "rep_conv_id", "sig", "prefix_key", "syn_key"}
