@@ -10,8 +10,9 @@ the sandbox parquet provides. Everything here is generated from
 - it scales linearly to any ``n_convs`` a cluster can hold.
 
 Duplicate-variant injection mirrors ``data/transcripts.py`` (v1 case noise /
-v2 punctuation noise / v3 truncation) so ground truth is again
-``cluster = base conv_id``.
+v2 punctuation noise / v3 truncation, plus the ``_d1`` adversarial hard
+negative — co-blocked by construction, must NOT match) so ground truth is
+again ``cluster = base conv_id`` with ``_d1`` its own entity.
 """
 
 from __future__ import annotations
@@ -103,9 +104,30 @@ def synth_transcripts(
         base.filter(dup & (kind == 4 % (3 * dup_fraction_mod)) & (F.col("turn_idx") < 3))
         .withColumn("conv_id", F.concat("conv_id", F.lit("_v3")))
     )
+    # adversarial hard negative, mirroring data/transcripts.py::_distractor_text:
+    # first 2 turns identical (= blocking.PREFIX_TURNS -> guaranteed prefix-key
+    # candidate pair), later turns two vocab-disjoint junk streams -> must NOT
+    # match (ground truth keeps _d1 as its own entity). Worst case here: >= 2
+    # junk turns of >= 8 tokens x2 streams vs <= 2x32-token prefix ->
+    # containment <= ~0.68 < the 0.9 thresholds. (Cyrillic vocab words pass
+    # translate() unchanged, but a surviving shingle needs 3 consecutive
+    # Cyrillic tokens in unchanged order — ~1% of shingles, noise.)
+    d1 = (
+        base.filter(F.col("conv_num") % 6 == 1)
+        .withColumn("conv_id", F.concat("conv_id", F.lit("_d1")))
+        .withColumn(
+            "text",
+            F.when(F.col("turn_idx") < 2, F.col("text")).otherwise(
+                F.concat(
+                    F.reverse(F.col("text")), F.lit(" "),
+                    F.translate(F.col("text"), "aeiou", "01234"),
+                )
+            ),
+        )
+    )
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     out = base.select(cols)
-    for v in (v1, v2, v3):
+    for v in (v1, v2, v3, d1):
         out = out.unionByName(v.select(cols))
     return out
 

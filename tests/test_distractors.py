@@ -58,6 +58,27 @@ def test_distractor_pairs_rejected_with_margin(spark, sf_dir):
         assert r["jaccard"] < 0.8 and r["containment"] < 0.8, r
 
 
+def test_synth_generator_mirrors_the_distractor_contract(spark, tmp_path):
+    """data/synth.py (bench + scale-linearity input) injects the same _d1
+    hard negatives; its F1 must also be measured against real negatives."""
+    from addressparser_spark.data.synth import synth_transcripts, synth_truth
+    from addressparser_spark.plans.pipeline import run_linkage
+    from addressparser_spark.plans.evaluate import pairwise_f1
+
+    t = synth_transcripts(spark, n_convs=240)
+    res = run_linkage(t, checkpoint_dir=str(tmp_path / "cc"), with_jw=False)
+    d1 = res.scored.filter(
+        F.col("conv_a").endswith("_d1") | F.col("conv_b").endswith("_d1")
+    )
+    rows = d1.select("jaccard", "containment", "verdict").collect()
+    assert len(rows) >= 240 // 6  # every distractor reaches the scorer
+    assert all(r["jaccard"] < 0.8 and r["containment"] < 0.8 for r in rows)
+    f1 = pairwise_f1(
+        res.clusters, labeled_pairs(res.pairs, synth_truth(t))
+    ).collect()[0]
+    assert f1["fp"] == 0 and f1["f1"] == 1.0 and f1["tn"] >= len(rows)
+
+
 def test_distractors_are_labeled_negatives_and_stay_unclustered(spark, sf_dir):
     cand = pairs_op.candidate_pairs(q._blocks(spark, sf_dir), persist=False)
     labels = labeled_pairs(cand, truth_df(spark, sf_dir))
