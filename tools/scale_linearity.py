@@ -78,7 +78,7 @@ def run_scale(spark, n_convs: int, checkpoint_base: str) -> dict:
         "stages_sec": stages,
         "total_sec": total,
         "f1": {k: (float(f1_row[k]) if k in ("precision", "recall", "f1") else int(f1_row[k]))
-               for k in ("tp", "fp", "fn", "precision", "recall", "f1")},
+               for k in ("tp", "fp", "fn", "tn", "precision", "recall", "f1")},
     }
     clusters.unpersist()
     result.profiles.unpersist()
