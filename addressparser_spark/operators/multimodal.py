@@ -5,12 +5,13 @@ column with a typed metadata struct; decode/feature-extract runs as
 Arrow-batched ``mapInPandas`` so each task streams batches without
 materializing whole partitions.
 
-Four container formats are decoded FOR REAL with pure-stdlib parsers (no
+Six container formats are decoded FOR REAL with pure-stdlib parsers (no
 image/audio/video libraries needed): PNG (IHDR width/height, signature +
-chunk walk), JPEG (segment walk to the SOF frame header), WAV (RIFF chunk
-walk, duration from data size / fmt byte rate), and MP4/ISO-BMFF (box-tree
-walk: ``mvhd`` timescale+duration for duration_ms, ``tkhd`` 16.16
-fixed-point width/height). Payloads in none of those containers fall back
+chunk walk), JPEG (segment walk to the SOF frame header), GIF (logical
+screen descriptor), WAV (RIFF chunk walk, duration from data size / fmt
+byte rate), FLAC (STREAMINFO sample_rate/total_samples bit-unpack), and
+MP4/ISO-BMFF (box-tree walk: ``mvhd`` timescale+duration for duration_ms,
+``tkhd`` 16.16 fixed-point width/height). Payloads in none of those containers fall back
 to a deterministic md5-derived stub when ``deterministic_fake`` is set,
 else raise ``NotImplementedError`` — the Spark plumbing (schema, batching,
 partitioning, UDF signatures) is identical on every path, so swapping in
@@ -119,6 +120,42 @@ def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
             return width, height
         off += size
     return None
+
+
+def _gif_dims(payload: bytes) -> tuple[int, int] | None:
+    """Parse width/height from a GIF logical screen descriptor; None if not a GIF.
+
+    GIF87a/GIF89a fix the layout: 6-byte signature+version, then the logical
+    screen width and height as little-endian uint16 — a 10-byte header read.
+    """
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack("<HH", payload[6:10])
+    return width, height
+
+
+def _flac_duration_ms(payload: bytes) -> int | None:
+    """Duration of a FLAC payload in ms; None if not a FLAC.
+
+    The spec fixes STREAMINFO as the first metadata block after the ``fLaC``
+    magic: 1-byte block header (bit7 last-flag, bits0-6 type 0), 3-byte
+    big-endian length (34), then the 34-byte STREAMINFO whose bytes 10..17,
+    read as a big-endian uint64, pack sample_rate(20) channels(3) bps(5)
+    total_samples(36) — a header read, no frame decode.
+    """
+    if len(payload) < 8 + 34 or payload[:4] != b"fLaC":
+        return None
+    if payload[4] & 0x7F != 0:  # first block must be STREAMINFO
+        return None
+    (block_len,) = struct.unpack(">I", b"\x00" + payload[5:8])
+    if block_len < 34 or len(payload) < 8 + 34:
+        return None
+    (packed,) = struct.unpack(">Q", payload[18:26])
+    sample_rate = packed >> 44
+    total_samples = packed & ((1 << 36) - 1)
+    if sample_rate == 0:
+        return None
+    return round(total_samples * 1000 / sample_rate)
 
 
 def _wav_duration_ms(payload: bytes) -> int | None:
@@ -259,6 +296,28 @@ def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
     )
 
 
+def make_gif(width: int, height: int) -> bytes:
+    """Build a minimal valid GIF89a (header + screen descriptor + trailer)."""
+    return (
+        b"GIF89a" + struct.pack("<HH", width, height)
+        + bytes([0x00, 0x00, 0x00])  # no global color table, bg, aspect
+        + b"\x3b"  # trailer
+    )
+
+
+def make_flac(duration_ms: int, sample_rate: int = 8000) -> bytes:
+    """Build a minimal valid FLAC header (fLaC magic + STREAMINFO block)."""
+    total_samples = sample_rate * duration_ms // 1000
+    packed = (sample_rate << 44) | (0 << 41) | (7 << 36) | total_samples  # mono, 8bps
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)      # min/max blocksize
+        + b"\x00\x00\x00" * 2               # min/max framesize (unknown)
+        + struct.pack(">Q", packed)
+        + bytes(16)                          # md5 of unencoded audio (zeroed)
+    )
+    return b"fLaC" + bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+
+
 def make_mp4(
     width: int, height: int, duration_ms: int, timescale: int = 1000
 ) -> bytes:
@@ -311,10 +370,12 @@ def _features(kind: str, payload: bytes, deterministic_fake: bool) -> tuple[int,
     Dispatch is by the payload's magic bytes, not the claimed ``kind`` — a
     mislabeled column must not route a PNG through the audio path.
     """
-    dims = _png_dims(payload) or _jpeg_dims(payload)
+    dims = _png_dims(payload) or _jpeg_dims(payload) or _gif_dims(payload)
     if dims is not None:
         return dims[0], dims[1], 0
     dur = _wav_duration_ms(payload)
+    if dur is None:
+        dur = _flac_duration_ms(payload)
     if dur is not None:
         return 0, 0, dur
     mp4 = _mp4_meta(payload)
@@ -322,8 +383,8 @@ def _features(kind: str, payload: bytes, deterministic_fake: bool) -> tuple[int,
         return mp4
     if not deterministic_fake:
         raise NotImplementedError(
-            f"payload is none of PNG/JPEG/WAV/MP4 and no other media decoder "
-            f"is available in this environment (kind={kind!r}); "
+            f"payload is none of PNG/JPEG/GIF/WAV/FLAC/MP4 and no other media "
+            f"decoder is available in this environment (kind={kind!r}); "
             "set deterministic_fake=True for a deterministic stub"
         )
     return _fake_features(kind, payload)
@@ -332,9 +393,10 @@ def _features(kind: str, payload: bytes, deterministic_fake: bool) -> tuple[int,
 def decode_media(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``.
 
-    PNG, JPEG, WAV, and MP4 payloads are decoded for real (pure-stdlib
-    header parses, see ``_png_dims`` / ``_jpeg_dims`` / ``_wav_duration_ms``
-    / ``_mp4_meta``); anything else uses the deterministic stub or raises.
+    PNG, JPEG, GIF, WAV, FLAC, and MP4 payloads are decoded for real
+    (pure-stdlib header parses, see ``_png_dims`` / ``_jpeg_dims`` /
+    ``_gif_dims`` / ``_wav_duration_ms`` / ``_flac_duration_ms`` /
+    ``_mp4_meta``); anything else uses the deterministic stub or raises.
     Real deployment: add PIL/librosa/ffmpeg branches inside the same batch
     loop — the Arrow batch shape, output schema, and partitioning are
     identical.

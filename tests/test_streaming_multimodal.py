@@ -199,6 +199,44 @@ def test_real_mp4_decode(spark):
     assert frames.count() == 3
 
 
+def test_real_gif_flac_decode(spark):
+    """GIF and FLAC payloads decode to TRUE dimensions/durations via their
+    fixed header layouts (logical screen descriptor / STREAMINFO bit-unpack)."""
+    from addressparser_spark.operators.multimodal import (
+        _flac_duration_ms,
+        _gif_dims,
+        make_flac,
+        make_gif,
+    )
+
+    gif = make_gif(320, 200)
+    flac = make_flac(2500)
+    hires = make_flac(90_000, sample_rate=96_000)
+    rows = [
+        (1, "image", gif, (len(gif), "image/gif", "t")),
+        (2, "audio", flac, (len(flac), "audio/flac", "t")),
+        # mislabeled kind: magic bytes win over the metadata column
+        (3, "video", hires, (len(hires), "audio/flac", "t")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r
+        for r in decode_media(media, deterministic_fake=False).collect()
+    }
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["duration_ms"]) == (320, 200, 0)
+    assert (feats[2]["width"], feats[2]["duration_ms"]) == (0, 2500)
+    assert feats[3]["duration_ms"] == 90_000
+
+    # parser unit checks: truncation/garbage rejected, not misparsed
+    assert _gif_dims(make_gif(7, 9)) == (7, 9)
+    assert _gif_dims(make_gif(7, 9)[:8]) is None
+    assert _gif_dims(b"GIF99a" + bytes(8)) is None
+    assert _flac_duration_ms(make_flac(1234)) == 1234
+    assert _flac_duration_ms(make_flac(1234)[:20]) is None
+    assert _flac_duration_ms(b"fLaC" + bytes([0x81]) + bytes(40)) is None  # first block not STREAMINFO
+    assert _flac_duration_ms(b"not flac, just 42+ bytes of padding.......") is None
+
+
 def test_media_decode_stub_raises(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3)
     media = media_from_documents(docs)
