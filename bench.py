@@ -426,6 +426,37 @@ def _run_scaling() -> dict:
     }
 
 
+def _stdout_payload(
+    queries: dict, pass_totals: list, f1: dict, scaling: dict | None, sf_dir: str
+) -> tuple[dict, dict | None]:
+    """Assemble (stdout JSON payload, side-file raw dict).
+
+    The driver captures only the TAIL of stdout and BENCH_r03 showed the
+    per-round raw run arrays outgrow that window (parsed: null) — so the
+    payload keeps summary scalars only and the per-round raw pass timings go
+    to the side file. Pure function: tests/test_bench_policy.py pins that the
+    payload stays compact and never leaks the raw rounds.
+    """
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "headline_policy": "per-query min over independent batch passes",
+        "headline_pass_totals": pass_totals,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pairwise_f1": f1,
+    }
+    raw = None
+    if scaling is not None:
+        scaling = dict(scaling)
+        raw = {"rounds": scaling.pop("rounds"), "headline_pass_totals": pass_totals}
+        scaling["raw_rounds_file"] = "bench_raw_last.json"
+        out["scaling"] = scaling
+    return out, raw
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--scaling-worker":
         _scaling_worker(int(sys.argv[2]))
@@ -446,28 +477,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         scaling = _run_scaling()
 
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    out = {
-        "metric": "headline_total",
-        "value": round(sum(queries.values()), 3),
-        "unit": "sec",
-        "queries": queries,
-        "headline_policy": "per-query min over independent batch passes",
-        "headline_pass_totals": pass_totals,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    out["pairwise_f1"] = f1
-    if scaling is not None:
-        # Per-round raw pass timings go to a side file — the driver captures
-        # only the tail of stdout and BENCH_r03 showed the full raw arrays
-        # outgrow that window (parsed: null). Stdout keeps the summary
-        # scalars; the side file keeps the audit trail.
-        raw = {"rounds": scaling.pop("rounds"), "headline_pass_totals": pass_totals}
+    out, raw = _stdout_payload(queries, pass_totals, f1, scaling, SF_DIR)
+    if raw is not None:
         side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_raw_last.json")
         with open(side, "w") as fh:
             json.dump(raw, fh, indent=1)
-        scaling["raw_rounds_file"] = "bench_raw_last.json"
-        out["scaling"] = scaling
     print(json.dumps(out))
 
 

@@ -102,3 +102,48 @@ def test_no_clean_rounds_falls_back_to_median_of_all():
     headline, clean_max, kept = bench._select_headline([r1, r2])
     assert kept == [] and clean_max is None
     assert headline in (r1, r2)
+
+
+def test_stdout_payload_stays_compact_and_never_leaks_rounds():
+    """BENCH_r03 failed to parse because the stdout JSON outgrew the driver's
+    tail-capture window. The payload must stay small (summary scalars only)
+    and the per-round raw arrays must go to the side dict, not stdout —
+    even at the maximum round count (repeats + extra = 6) with 3 reps and
+    3 large runs per side."""
+    import json
+
+    rounds = [mk_round(**CLEAN) for _ in range(6)]
+    for r in rounds:  # worst case: every side carries full rep arrays
+        for side in ("n", "n4"):
+            r[side]["runs_small"] = [(719_535, 12.5)] * 3
+            r[side]["runs"] = [(5_731_080, 94.0)] * 3
+    headline, clean_max, n_clean = bench._select_headline(rounds)
+    scaling = {
+        "input_convs": 24000, "pairs_scored": 6_686_320,
+        "local4_sec": 94.0, "local16_sec": 29.9,
+        "local4_pairs_per_sec": 66456.6, "local16_pairs_per_sec": 265959.6,
+        "throughput_estimator": "marginal (slope between the two pass sizes)",
+        "scaling_efficiency": bench._cap_efficiency(headline["eff"]),
+        "raw_headline_efficiency": headline["eff"],
+        "scaling_policy": "x" * 300,  # longer than the real policy string
+        "clean_window_max_efficiency": clean_max,
+        "n_clean_rounds": len(n_clean),
+        "all_rounds_implausible_burst": False,
+        "median_round_efficiency": headline["eff"],
+        "round_efficiencies": [r["eff"] for r in rounds],
+        "rounds": rounds,
+    }
+    queries = {f"q{i:02d}": 12.345 for i in range(12)}
+    f1 = {"tp": 500, "fp": 0, "fn": 0, "tn": 684,
+          "precision": 1.0, "recall": 1.0, "f1": 1.0}
+    out, raw = bench._stdout_payload(queries, [36.6, 36.6, 34.2], f1, scaling,
+                                     "/root/testdata/sf0.1")
+    line = json.dumps(out)
+    assert "rounds" not in out.get("scaling", {})
+    assert raw is not None and len(raw["rounds"]) == 6
+    assert len(line) < 4096, len(line)  # fits any sane tail-capture window
+    assert json.loads(line)["scaling"]["raw_rounds_file"] == "bench_raw_last.json"
+    assert "rounds" in scaling  # caller's dict is not mutated
+    # no scaling phase -> no side file payload
+    out2, raw2 = bench._stdout_payload(queries, [36.6], f1, None, "/x/sf0.01")
+    assert raw2 is None and "scaling" not in out2 and out2["sf"] == 0.01
