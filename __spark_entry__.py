@@ -83,6 +83,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is also exercised by rel_argmax_order; ann_ivf_topk took its slot so
         # the second ANN scale path gets a driver-graded CORRECTNESS row.
         "rel_longest_name": queries_tpch.rel_longest_name,
+        # Gopher-style repetition/boilerplate scorer — the in-window
+        # text_quality/text_langid rows grade the text-analysis family;
+        # this one is parity-gated locally.
+        "text_repetition": q.text_repetition,
     }
 
 
@@ -123,5 +127,6 @@ def oracle_sql() -> dict[str, str]:
         "er_requalified_keys": oracle.requalified_keys_sql(),
         "text_extract_iterative": oracle_docs.extract_iterative_sql(),
         "dedup_dropped_buckets": oracle_docs.dropped_buckets_sql(),
+        "text_repetition": oracle_docs.text_repetition_sql(),
         **oracle_tpch.ALL,
     }

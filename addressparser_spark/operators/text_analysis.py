@@ -29,6 +29,56 @@ FINGERPRINT_NGRAM = 5
 FINGERPRINT_K = 4
 
 
+def text_repetition(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition/boilerplate features (Gopher-style quality rules).
+
+    Training-data pipelines filter documents whose text is dominated by
+    repeated content (templated boilerplate, keyword stuffing, copy loops).
+    Three standard signals, all pure Catalyst array expressions (no explode,
+    no shuffle — a row-local map over the scan, partition-parallel at any
+    scale):
+
+    - ``distinct_token_ratio``  |set(tokens)| / n
+    - ``top_token_frac``        occurrences of the most frequent token / n
+    - ``dup_bigram_frac``       1 - |set(bigrams)| / (n-1)
+
+    ``flagged`` applies Gopher-like thresholds (top token > 30% of the doc,
+    or > 50% of bigrams duplicated). Cost note: top_token_frac is
+    O(distinct·n) per row — bounded by the ~110-token docs here; for long
+    documents swap in the explode+groupBy formulation (same values, one
+    shuffle).
+    """
+    toks = tokens_col(normalize_col(F.col("text")))
+    n = F.size(toks)
+    distinct_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)) / n
+    )
+    top_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda d: F.size(F.filter(toks, lambda t: t == d)),
+            )
+        )
+        / n
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+    )
+    dup_bigram = F.when(n < 2, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+        F.round(dup_bigram, 6).alias("dup_bigram_frac"),
+        ((top_frac > 0.3) | (dup_bigram > 0.5)).alias("flagged"),
+    )
+
+
 def text_quality(docs: DataFrame) -> DataFrame:
     """Per-doc quality features + composite score in [0,1]."""
     text = F.col("text")

@@ -194,6 +194,26 @@ def _stoplist_sql(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+def text_repetition_sql() -> str:
+    """DuckDB twin of operators.text_analysis.text_repetition."""
+    top = ("list_max(list_transform(list_distinct(toks), "
+           "d -> len(list_filter(toks, t -> t = d)))) / CAST(len(toks) AS DOUBLE)")
+    bg = "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])"
+    dup = (f"1.0 - len(list_distinct({bg})) / CAST(len({bg}) AS DOUBLE)")
+    return _assemble(
+        f"""SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END, 6) AS distinct_token_ratio,
+       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE {top} END, 6) AS top_token_frac,
+       round(CASE WHEN len(toks) < 2 THEN 0.0 ELSE {dup} END, 6) AS dup_bigram_frac,
+       (CASE WHEN len(toks) = 0 THEN 0.0 ELSE {top} END) > 0.3
+         OR (CASE WHEN len(toks) < 2 THEN 0.0 ELSE {dup} END) > 0.5 AS flagged
+FROM (SELECT doc_id, {_TOKS} AS toks FROM norm_docs)""",
+        NORM_DOCS_CTE,
+    )
+
+
 def text_quality_sql() -> str:
     stop = _stoplist_sql(EN_STOPWORDS + RU_STOPWORDS)
     return _assemble(

@@ -132,6 +132,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq(_docs(spark, sf_dir))
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import text_repetition as tr
+
+    return tr(_docs(spark, sf_dir))
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import text_langid as tl
 

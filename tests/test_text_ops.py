@@ -64,3 +64,26 @@ def test_kilometer_parse(spark):
     assert rows[3]["km_n"] is None
     assert rows[3]["text_rewritten"] == "no kilometers here"
     assert rows[4]["km_n"] is None
+
+
+def test_text_repetition_flags_boilerplate(spark):
+    from addressparser_spark.operators.text_analysis import text_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam eggs"),  # one token dominates
+            (2, "buy now buy now buy now buy now buy now buy now"),    # duplicated bigrams
+            (3, "a perfectly ordinary sentence with no repeated tokens whatsoever"),
+            (4, ""),                                                    # empty -> all zeros
+            (5, "single"),                                              # n=1 -> no bigrams
+        ],
+        DOC_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in text_repetition(docs).collect()}
+    assert rows[1]["top_token_frac"] == 0.9 and rows[1]["flagged"]
+    assert rows[2]["dup_bigram_frac"] > 0.5 and rows[2]["flagged"]
+    assert rows[3]["distinct_token_ratio"] == 1.0 and not rows[3]["flagged"]
+    assert (rows[4]["n_tokens"], rows[4]["dup_bigram_frac"], bool(rows[4]["flagged"])) == (0, 0.0, False)
+    # a one-token doc is 100% its top token: degenerate docs flag by design
+    assert rows[5]["dup_bigram_frac"] == 0.0 and rows[5]["top_token_frac"] == 1.0
+    assert rows[5]["flagged"]
