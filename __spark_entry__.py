@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_quality/text_langid rows grade the text-analysis family;
         # this one is parity-gated locally.
         "text_repetition": q.text_repetition,
+        # typed from_json extraction over the semi-structured events.props
+        # column (tool-call-args analog); parity-gated locally.
+        "rel_json_extract": queries_tpch.rel_json_extract,
     }
 
 

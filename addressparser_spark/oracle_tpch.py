@@ -168,6 +168,21 @@ FROM documents
 ALL["rel_window_running"] = REL_WINDOW_RUNNING
 ALL["text_extract_struct"] = TEXT_EXTRACT_STRUCT
 
+# CASTs: DuckDB sum(int) is HUGEINT (-> float64 in pandas) while Spark
+# sum(int) is BIGINT; the driver's value hash is dtype-sensitive.
+ALL["rel_json_extract"] = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       max(k) AS max_k,
+       round(avg(k), 6) AS avg_k
+FROM e GROUP BY event_type
+"""
+
 REL_SALTED_ROLLUP = """
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,

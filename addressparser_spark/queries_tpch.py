@@ -182,6 +182,29 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured ``events.props`` JSON column.
+
+    Transcript pipelines carry tool-call arguments as JSON strings; the
+    scalable path is ``from_json`` with an explicit schema (Catalyst
+    JsonToStructs: codegen'd, prunes to the requested fields, no Python) —
+    NOT per-row json.loads. Extracted field feeds a normal partial-agg
+    rollup, so the whole query is one shuffle.
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
 def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per priority x status."""
     orders = _t(spark, sf_dir, "orders")
