@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # typed from_json extraction over the semi-structured events.props
         # column (tool-call-args analog); parity-gated locally.
         "rel_json_extract": queries_tpch.rel_json_extract,
+        # PII scrub (emails/URLs/digit runs -> placeholders); the parity run
+        # over the clean corpus is its zero-false-positive check.
+        "text_scrub": q.text_scrub,
     }
 
 
@@ -131,5 +134,6 @@ def oracle_sql() -> dict[str, str]:
         "text_extract_iterative": oracle_docs.extract_iterative_sql(),
         "dedup_dropped_buckets": oracle_docs.dropped_buckets_sql(),
         "text_repetition": oracle_docs.text_repetition_sql(),
+        "text_scrub": oracle_docs.text_scrub_sql(),
         **oracle_tpch.ALL,
     }

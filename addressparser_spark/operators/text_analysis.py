@@ -29,6 +29,39 @@ FINGERPRINT_NGRAM = 5
 FINGERPRINT_K = 4
 
 
+# PII patterns, intersection of Java-regex and RE2 syntax (no lookaround)
+# so the Spark expression and the DuckDB oracle compile the same automaton.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_NUMBER = r"[0-9]{7,}"
+
+
+def text_scrub(docs: DataFrame) -> DataFrame:
+    """PII masking: emails/URLs/long digit runs -> placeholder tokens.
+
+    Standard pre-training scrub pass. Counts are measured on the raw text;
+    replacement runs URL -> email -> number (a URL can contain both an
+    email-shaped substring and digit runs, so the most specific pattern
+    masks first). Pure Catalyst regexp expressions — row-local, no shuffle,
+    whole-stage codegen'd; the oracle parity run over the clean synthetic
+    corpus doubles as a zero-false-positive check (every count 0 and
+    ``text_scrubbed == text`` must hash-match exactly).
+    """
+    text = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_URL, "<url>"),
+            PII_EMAIL, "<email>"),
+        PII_NUMBER, "<number>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_URL)).alias("n_urls"),
+        F.regexp_count(text, F.lit(PII_NUMBER)).alias("n_numbers"),
+        scrubbed.alias("text_scrubbed"),
+    )
+
+
 def text_repetition(docs: DataFrame) -> DataFrame:
     """Per-doc repetition/boilerplate features (Gopher-style quality rules).
 

@@ -194,6 +194,24 @@ def _stoplist_sql(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+def text_scrub_sql() -> str:
+    """DuckDB twin of operators.text_analysis.text_scrub (RE2-safe patterns)."""
+    from .operators.text_analysis import PII_EMAIL, PII_NUMBER, PII_URL
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    return f"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{esc(PII_EMAIL)}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{esc(PII_URL)}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{esc(PII_NUMBER)}')) AS INT) AS n_numbers,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{esc(PII_URL)}', '<url>', 'g'),
+           '{esc(PII_EMAIL)}', '<email>', 'g'),
+           '{esc(PII_NUMBER)}', '<number>', 'g') AS text_scrubbed
+FROM documents"""
+
+
 def text_repetition_sql() -> str:
     """DuckDB twin of operators.text_analysis.text_repetition."""
     top = ("list_max(list_transform(list_distinct(toks), "

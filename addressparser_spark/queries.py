@@ -138,6 +138,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr(_docs(spark, sf_dir))
 
 
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import text_scrub as ts
+
+    return ts(_docs(spark, sf_dir))
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import text_langid as tl
 

@@ -87,3 +87,30 @@ def test_text_repetition_flags_boilerplate(spark):
     # a one-token doc is 100% its top token: degenerate docs flag by design
     assert rows[5]["dup_bigram_frac"] == 0.0 and rows[5]["top_token_frac"] == 1.0
     assert rows[5]["flagged"]
+
+
+def test_text_scrub_masks_pii_and_counts(spark):
+    from addressparser_spark.operators.text_analysis import text_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail alice@example.com or bob.smith+x@sub.domain.org today"),
+            (2, "see https://example.com/a?b=1 and http://x.io/p for details"),
+            (3, "call 79991234567 ref 12345678 (but 123456 is too short)"),
+            (4, "https://u:p@host.com/path has an email-shaped substring"),
+            (5, "plain text stays untouched"),
+        ],
+        DOC_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in text_scrub(docs).collect()}
+    assert rows[1]["n_emails"] == 2
+    assert rows[1]["text_scrubbed"] == "mail <email> or <email> today"
+    assert rows[2]["n_urls"] == 2
+    assert rows[2]["text_scrubbed"] == "see <url> and <url> for details"
+    assert rows[3]["n_numbers"] == 2
+    assert rows[3]["text_scrubbed"] == "call <number> ref <number> (but 123456 is too short)"
+    # URL masks FIRST, so its embedded email-shaped substring never leaks a
+    # partial <email> replacement into the middle of a masked URL
+    assert rows[4]["text_scrubbed"] == "<url> has an email-shaped substring"
+    assert rows[5]["text_scrubbed"] == "plain text stays untouched"
+    assert (rows[5]["n_emails"], rows[5]["n_urls"], rows[5]["n_numbers"]) == (0, 0, 0)
