@@ -239,6 +239,8 @@ def _mp4_meta(payload: bytes) -> tuple[int, int, int] | None:
                 for ttype, tbody, tend in _mp4_boxes(payload, cbody, cend):
                     if ttype != b"tkhd":
                         continue
+                    if tend - tbody < 84:  # minimum v0 tkhd body (width at 76+8)
+                        break
                     version = payload[tbody]
                     # v0: ver/flags 4 + times/id/reserved/duration 20 +
                     # reserved 8 + layer/alt/volume/reserved 8 + matrix 36

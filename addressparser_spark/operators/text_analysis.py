@@ -29,6 +29,17 @@ FINGERPRINT_NGRAM = 5
 FINGERPRINT_K = 4
 
 
+# Gopher-style document-quality rules (Rae et al. 2021, public appendix A):
+# symbol-to-word ratio, mean-word-length band, minimum stop-word evidence.
+# The pattern is Java-regex/RE2-common (alternation only) so the Spark
+# expression and the DuckDB twin compile the same automaton; '...' is listed
+# before '…' handling is unnecessary since they cannot overlap.
+GOPHER_SYMBOL_PATTERN = "#|\\.\\.\\.|…"
+GOPHER_MEAN_WORD_LEN_LO = 3.0
+GOPHER_MEAN_WORD_LEN_HI = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORD_HITS = 2
+
 # PII patterns, intersection of Java-regex and RE2 syntax (no lookaround)
 # so the Spark expression and the DuckDB oracle compile the same automaton.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -113,7 +124,16 @@ def text_repetition(docs: DataFrame) -> DataFrame:
 
 
 def text_quality(docs: DataFrame) -> DataFrame:
-    """Per-doc quality features + composite score in [0,1]."""
+    """Per-doc quality features + composite score in [0,1] + Gopher rules.
+
+    The Gopher columns (Rae et al. 2021 appendix A subset) extend the
+    original length/punct/stopword ladder: ``symbol_word_ratio`` ('#'/'...'
+    per token), ``mean_word_len_ok`` (mean token length inside the
+    [3, 10] band), ``stopword_hits`` (absolute stop-word evidence), and
+    ``gopher_flagged`` OR-ing the three rule violations. All pure Catalyst,
+    row-local, no shuffle; the DuckDB twin is built from the same module
+    constants.
+    """
     text = F.col("text")
     norm = normalize_col(text)
     toks = tokens_col(norm)
@@ -129,6 +149,16 @@ def text_quality(docs: DataFrame) -> DataFrame:
     stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(n_stop / n_tokens)
     punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(punct / n_chars)
     digit_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(digits / n_chars)
+    symbols = F.regexp_count(text, F.lit(GOPHER_SYMBOL_PATTERN))
+    symbol_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(symbols / n_tokens)
+    word_len_ok = (avg_tok >= GOPHER_MEAN_WORD_LEN_LO) & (
+        avg_tok <= GOPHER_MEAN_WORD_LEN_HI
+    )
+    gopher_flagged = (
+        ~word_len_ok
+        | (symbol_ratio > GOPHER_MAX_SYMBOL_RATIO)
+        | (n_stop < GOPHER_MIN_STOPWORD_HITS)
+    )
     # simple monotone quality ladder: long enough, mostly letters, has stopwords
     score = (
         F.least(n_tokens / 50.0, F.lit(1.0)) * 0.4
@@ -144,6 +174,10 @@ def text_quality(docs: DataFrame) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        n_stop.alias("stopword_hits"),
+        word_len_ok.alias("mean_word_len_ok"),
+        gopher_flagged.alias("gopher_flagged"),
         F.round(score, 6).alias("quality_score"),
     )
 

@@ -233,19 +233,42 @@ FROM (SELECT doc_id, {_TOKS} AS toks FROM norm_docs)""",
 
 
 def text_quality_sql() -> str:
+    from .operators.text_analysis import (
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MEAN_WORD_LEN_HI,
+        GOPHER_MEAN_WORD_LEN_LO,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_SYMBOL_PATTERN,
+    )
+
     stop = _stoplist_sql(EN_STOPWORDS + RU_STOPWORDS)
+    avg_tok = ("CASE WHEN len(t.toks) = 0 THEN 0.0 "
+               "ELSE list_sum(list_transform(t.toks, x -> length(x)))"
+               " / CAST(len(t.toks) AS DOUBLE) END")
+    stop_hits = f"len(list_filter(t.toks, x -> list_contains({stop}, x)))"
+    sym_pat = GOPHER_SYMBOL_PATTERN.replace("\\\\", "\\").replace("'", "''")
+    symbol_ratio = (f"CASE WHEN len(t.toks) = 0 THEN 0.0 "
+                    f"ELSE len(regexp_extract_all(d.text, '{sym_pat}'))"
+                    f" / CAST(len(t.toks) AS DOUBLE) END")
+    word_len_ok = (f"(({avg_tok}) >= {GOPHER_MEAN_WORD_LEN_LO}"
+                   f" AND ({avg_tok}) <= {GOPHER_MEAN_WORD_LEN_HI})")
     return _assemble(
         f"""SELECT d.doc_id,
        CAST(length(d.text) AS BIGINT) AS n_chars,
        len(t.toks) AS n_tokens,
-       round(CASE WHEN len(t.toks) = 0 THEN 0.0
-             ELSE list_sum(list_transform(t.toks, x -> length(x))) / CAST(len(t.toks) AS DOUBLE) END, 6) AS avg_token_len,
+       round({avg_tok}, 6) AS avg_token_len,
        round(CASE WHEN len(t.toks) = 0 THEN 0.0
              ELSE len(list_filter(t.toks, x -> list_contains({stop}, x))) / CAST(len(t.toks) AS DOUBLE) END, 6) AS stopword_ratio,
        round(CASE WHEN length(d.text) = 0 THEN 0.0
              ELSE length(regexp_replace(d.text, '[A-Za-zА-Яа-яЁё0-9\\s]', '', 'g')) / CAST(length(d.text) AS DOUBLE) END, 6) AS punct_ratio,
        round(CASE WHEN length(d.text) = 0 THEN 0.0
              ELSE length(regexp_replace(d.text, '[^0-9]', '', 'g')) / CAST(length(d.text) AS DOUBLE) END, 6) AS digit_ratio,
+       round({symbol_ratio}, 6) AS symbol_word_ratio,
+       {stop_hits} AS stopword_hits,
+       {word_len_ok} AS mean_word_len_ok,
+       (NOT {word_len_ok}
+        OR ({symbol_ratio}) > {GOPHER_MAX_SYMBOL_RATIO}
+        OR {stop_hits} < {GOPHER_MIN_STOPWORD_HITS}) AS gopher_flagged,
        round(
          least(len(t.toks) / 50.0, 1.0) * 0.4
          + least((CASE WHEN len(t.toks) = 0 THEN 0.0

@@ -22,6 +22,8 @@ WHEN MATCHED UPDATE clause to emulate.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,12 +103,18 @@ class IcebergRegistryWriter(RegistryWriter):
         return self.spark.table(self.table)
 
     def merge(self, additions: DataFrame) -> None:
-        additions.createOrReplaceTempView("__registry_additions")
-        self.spark.sql(
-            f"MERGE INTO {self.table} r USING __registry_additions n "
-            "ON r.entity_id <=> n.entity_id "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        # per-call view name: two concurrent merges on one SparkSession must
+        # not clobber each other's source between view creation and MERGE
+        view = f"__registry_additions_{uuid.uuid4().hex}"
+        additions.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(
+                f"MERGE INTO {self.table} r USING {view} n "
+                "ON r.entity_id <=> n.entity_id "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
 
 def registry_writer(

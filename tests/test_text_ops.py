@@ -114,3 +114,44 @@ def test_text_scrub_masks_pii_and_counts(spark):
     assert rows[4]["text_scrubbed"] == "<url> has an email-shaped substring"
     assert rows[5]["text_scrubbed"] == "plain text stays untouched"
     assert (rows[5]["n_emails"], rows[5]["n_urls"], rows[5]["n_numbers"]) == (0, 0, 0)
+
+
+def test_gopher_rules_fixtures(spark):
+    """One fixture per Gopher rule in text_quality (symbol ratio,
+    mean-word-length band both directions, minimum stop-word evidence),
+    plus a clean doc asserting no rule fires spuriously."""
+    from addressparser_spark.operators.text_analysis import text_quality
+
+    docs = spark.createDataFrame(
+        [
+            # clean: stopword-bearing English, mean token len inside [3,10]
+            (1, "the quick brown fox jumps and runs to the lazy dog barn"),
+            # symbol-heavy: 6 '#' + 2 '...' over 6 tokens -> ratio >> 0.1
+            (2, "the code is ### broken ### see ... more ..."),
+            # no stop-word evidence (< 2 hits)
+            (3, "quantum flux capacitor module recalibration"),
+            # mean token length above the band (avg > 10)
+            (4, "the supercalifragilisticexpialidocious anthropomorphization incomprehensibilities the"),
+            # mean token length below the band (avg < 3)
+            (5, "a b c d to e f g h i j k l m n"),
+        ],
+        DOC_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in text_quality(docs).collect()}
+    assert not rows[1]["gopher_flagged"]
+    assert rows[1]["mean_word_len_ok"] and rows[1]["stopword_hits"] >= 2
+    assert rows[1]["symbol_word_ratio"] == 0.0
+
+    assert rows[2]["gopher_flagged"] and rows[2]["symbol_word_ratio"] > 0.1
+    # '###' counts as three '#' marks, each '...' as one ellipsis
+    assert round(rows[2]["symbol_word_ratio"] * 6) == 8
+    assert rows[2]["mean_word_len_ok"] and rows[2]["stopword_hits"] >= 2
+
+    assert rows[3]["gopher_flagged"] and rows[3]["stopword_hits"] < 2
+    assert rows[3]["mean_word_len_ok"] and rows[3]["symbol_word_ratio"] == 0.0
+
+    assert rows[4]["gopher_flagged"] and not rows[4]["mean_word_len_ok"]
+    assert rows[4]["avg_token_len"] > 10 and rows[4]["stopword_hits"] >= 2
+
+    assert rows[5]["gopher_flagged"] and not rows[5]["mean_word_len_ok"]
+    assert rows[5]["avg_token_len"] < 3 and rows[5]["stopword_hits"] >= 2
