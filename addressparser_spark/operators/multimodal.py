@@ -11,12 +11,16 @@ chunk walk), JPEG (segment walk to the SOF frame header), GIF (logical
 screen descriptor), WAV (RIFF chunk walk, duration from data size / fmt
 byte rate), FLAC (STREAMINFO sample_rate/total_samples bit-unpack), and
 MP4/ISO-BMFF (box-tree walk: ``mvhd`` timescale+duration for duration_ms,
-``tkhd`` 16.16 fixed-point width/height). Payloads in none of those containers fall back
+``tkhd`` 16.16 fixed-point width/height). PNG additionally gets a FULL
+pixel decode (``_png_content``: zlib inflate + scanline unfilter for all
+five PNG filters) emitting real content stats — mean/max luma and the
+nonzero-pixel fraction. Payloads in none of those containers fall back
 to a deterministic md5-derived stub when ``deterministic_fake`` is set,
 else raise ``NotImplementedError`` — the Spark plumbing (schema, batching,
 partitioning, UDF signatures) is identical on every path, so swapping in
-PIL/ffmpeg later changes only the per-row parse (pixel/sample decode;
-every header-level fact is already real).
+PIL/ffmpeg later changes only the per-row parse (the remaining stub surface
+is compressed audio/video sample data; every header-level fact and PNG
+pixel-level fact is already real).
 """
 
 from __future__ import annotations
@@ -38,7 +42,9 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id bigint, kind string, n_bytes bigint, "
-    "width int, height int, duration_ms int, feature_hash string"
+    "width int, height int, duration_ms int, "
+    "mean_luma double, max_luma int, nonzero_frac double, "
+    "feature_hash string"
 )
 
 
@@ -80,6 +86,97 @@ def _png_dims(payload: bytes) -> tuple[int, int] | None:
         return None
     width, height = struct.unpack(">II", payload[16:24])
     return width, height
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (filter 4): nearest of left/up/up-left to a+b-c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_content(payload: bytes) -> tuple[float, int, float] | None:
+    """(mean_luma, max_luma, nonzero_frac) from a FULL PNG pixel decode.
+
+    The one container whose payload decodes with the stdlib alone: chunk
+    walk collects the IDAT stream, ``zlib`` inflates it, and the five PNG
+    scanline filters (None/Sub/Up/Average/Paeth) are inverted per row.
+    Supports the non-interlaced 8-bit color types (gray, RGB, gray+alpha,
+    RGBA); luma is the gray channel, or the integer mean (r+g+b)//3 for
+    color. Returns None for anything else — header facts still come from
+    ``_png_dims``, so content stats degrade to NULL, never to a crash.
+    """
+    if len(payload) < 33 or payload[:8] != _PNG_SIGNATURE or payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
+    channels = _PNG_CHANNELS.get(color_type)
+    if bit_depth != 8 or channels is None or interlace != 0 or not width or not height:
+        return None
+    idat = bytearray()
+    off = 8
+    while off + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[off : off + 4])
+        ctype = payload[off + 4 : off + 8]
+        data_end = off + 8 + clen
+        if data_end + 4 > len(payload):
+            return None  # truncated chunk
+        if ctype == b"IDAT":
+            idat += payload[off + 8 : data_end]
+        elif ctype == b"IEND":
+            break
+        off = data_end + 4  # skip CRC
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        return None
+    prev = bytearray(stride)
+    total = luma_sum = nonzero = 0
+    max_luma = 0
+    for r in range(height):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            return None  # invalid filter type
+        for px in range(width):
+            j = px * channels
+            if channels >= 3:
+                luma = (line[j] + line[j + 1] + line[j + 2]) // 3
+            else:
+                luma = line[j]
+            luma_sum += luma
+            nonzero += luma != 0
+            if luma > max_luma:
+                max_luma = luma
+            total += 1
+        prev = line
+    if total == 0:
+        return None
+    return round(luma_sum / total, 6), max_luma, round(nonzero / total, 6)
 
 
 _SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}  # not DHT/JPG/DAC
@@ -256,19 +353,55 @@ def _mp4_meta(payload: bytes) -> tuple[int, int, int] | None:
     return width or 0, height or 0, duration_ms
 
 
-def make_png(width: int, height: int) -> bytes:
-    """Build a minimal VALID 8-bit grayscale PNG (test fixture / synthesizer)."""
+def make_png(
+    width: int,
+    height: int,
+    pixels: bytes | None = None,
+    filter_type: int = 0,
+) -> bytes:
+    """Build a minimal VALID 8-bit grayscale PNG (test fixture / synthesizer).
+
+    ``pixels`` is row-major luma bytes (len == width*height; zeros when
+    omitted); ``filter_type`` 0-4 forward-applies that PNG scanline filter
+    to every row on the encode side, so a decoder must invert it to recover
+    ``pixels`` — this is how the unfilter paths get exercised by fixtures.
+    """
+    if pixels is None:
+        pixels = bytes(width * height)
+    assert len(pixels) == width * height and 0 <= filter_type <= 4
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         body = ctype + data
         return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
 
+    scanlines = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        row = pixels[r * width : (r + 1) * width]
+        out = bytearray(row)
+        if filter_type == 1:  # Sub
+            for i in range(width - 1, 0, -1):
+                out[i] = (out[i] - row[i - 1]) & 0xFF
+        elif filter_type == 2:  # Up
+            for i in range(width):
+                out[i] = (out[i] - prev[i]) & 0xFF
+        elif filter_type == 3:  # Average
+            for i in range(width):
+                left = row[i - 1] if i else 0
+                out[i] = (out[i] - (left + prev[i]) // 2) & 0xFF
+        elif filter_type == 4:  # Paeth
+            for i in range(width):
+                left = row[i - 1] if i else 0
+                ul = prev[i - 1] if i else 0
+                out[i] = (out[i] - _paeth(left, prev[i], ul)) & 0xFF
+        scanlines += bytes([filter_type]) + out
+        prev = row
+
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    scanlines = (b"\x00" + bytes(width)) * height  # filter 0 + zero pixels
     return (
         _PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
         + chunk(b"IEND", b"")
     )
 
@@ -406,21 +539,26 @@ def decode_media(media: DataFrame, deterministic_fake: bool = True) -> DataFrame
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
             feats = [
-                _features(k, bytes(p), deterministic_fake)
-                for k, p in zip(pdf["kind"], pdf["payload"])
+                _features(k, p, deterministic_fake)
+                for k, p in zip(pdf["kind"], payloads)
             ]
+            # content stats only where the payload pixel-decodes (PNG);
+            # header-only containers keep NULLs — degrade, never fake
+            content = [_png_content(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "n_bytes": [len(p) for p in payloads],
                     "width": [f[0] for f in feats],
                     "height": [f[1] for f in feats],
                     "duration_ms": [f[2] for f in feats],
-                    "feature_hash": [
-                        hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
-                    ],
+                    "mean_luma": [c[0] if c else None for c in content],
+                    "max_luma": [c[1] if c else None for c in content],
+                    "nonzero_frac": [c[2] if c else None for c in content],
+                    "feature_hash": [hashlib.md5(p).hexdigest() for p in payloads],
                 }
             )
 

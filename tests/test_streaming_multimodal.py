@@ -198,6 +198,18 @@ def test_real_mp4_decode(spark):
     frames = frame_sample(media.filter(F.col("kind") == "video"), every_ms=5000)
     assert frames.count() == 3
 
+    # malformed trak ending in an EMPTY (size==8) tkhd box: the walk must
+    # stop, not raise — _mp4_meta keeps _mp4_boxes's stops-not-raises contract
+    import struct as _struct
+
+    def _box(btype: bytes, data: bytes) -> bytes:
+        return _struct.pack(">I", len(data) + 8) + btype + data
+
+    mvhd_ok = clip[clip.index(b"mvhd") - 4 : clip.index(b"mvhd") - 4 + 108]
+    empty_tkhd = _box(b"moov", mvhd_ok + _box(b"trak", _box(b"tkhd", b"")))
+    malformed = clip[: clip.index(b"moov") - 4] + empty_tkhd
+    assert _mp4_meta(malformed) == (0, 0, 12500)  # duration survives, dims degrade
+
 
 def test_real_gif_flac_decode(spark):
     """GIF and FLAC payloads decode to TRUE dimensions/durations via their
@@ -250,3 +262,64 @@ def test_frame_sample(spark, sf_dir):
     frames = frame_sample(media, every_ms=10000)
     row = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).first()
     assert row["n"] >= 1
+
+
+def test_png_pixel_decode_all_filters(spark):
+    """Full PNG pixel decode (zlib inflate + unfilter): identical content
+    stats regardless of which scanline filter the ENCODER chose, and the
+    stats equal the ground truth computed from the raw pixel array."""
+    import struct
+    import zlib
+
+    from addressparser_spark.operators.multimodal import (
+        _png_content,
+        _PNG_SIGNATURE,
+    )
+
+    w, h = 16, 8
+    pixels = bytes((x + y * w) % 256 for y in range(h) for x in range(w))
+    want_mean = round(sum(pixels) / len(pixels), 6)
+    want_max = max(pixels)
+    want_nonzero = round(sum(1 for v in pixels if v) / len(pixels), 6)
+    for ftype in range(5):
+        got = _png_content(make_png(w, h, pixels=pixels, filter_type=ftype))
+        assert got == (want_mean, want_max, want_nonzero), f"filter {ftype}"
+
+    # RGB color type: luma is the integer channel mean (r+g+b)//3
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    rgb_rows = [
+        bytes([255, 0, 0, 0, 255, 0]),   # red, green  -> luma 85, 85
+        bytes([0, 0, 0, 30, 60, 93]),    # black, gray -> luma 0, 61
+    ]
+    rgb_png = (
+        _PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(b"\x00" + r for r in rgb_rows)))
+        + chunk(b"IEND", b"")
+    )
+    mean, mx, nz = _png_content(rgb_png)
+    assert (mean, mx, nz) == (round((85 + 85 + 0 + 61) / 4, 6), 85, 0.75)
+
+    # rejects, never crashes: truncation at every offset, garbage, interlace
+    full = make_png(w, h, pixels=pixels, filter_type=4)
+    for i in range(0, len(full), 11):
+        _png_content(full[:i])
+    assert _png_content(b"not a png but comfortably long enough....") is None
+
+    # mapInPandas surface: content stats ride along; non-PNG rows stay NULL
+    rows = [
+        (1, "image", full, (len(full), "image/png", "t")),
+        (2, "audio", make_wav(1500), (len(make_wav(1500)), "audio/wav", "t")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r
+        for r in decode_media(media, deterministic_fake=False).collect()
+    }
+    assert feats[1]["mean_luma"] == want_mean
+    assert feats[1]["max_luma"] == want_max
+    assert feats[1]["nonzero_frac"] == want_nonzero
+    assert feats[2]["mean_luma"] is None and feats[2]["max_luma"] is None
