@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from addressparser_spark import oracle, oracle_docs, oracle_tpch, queries as q
 from addressparser_spark import queries_tpch
 from addressparser_spark.operators.ann import EMB_DIM
+from addressparser_spark.streaming import driver_queries as stream_q
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -62,37 +63,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_choose_candidate": q.er_choose_candidate,
         "er_type_split": q.er_type_split,
         "er_requalified_keys": q.er_requalified_keys,
-        "rel_q1_agg": queries_tpch.rel_q1_agg,
         "rel_join_rollup": queries_tpch.rel_join_rollup,
         "rel_nullsafe_join": queries_tpch.rel_nullsafe_join,
         "rel_argmax_order": queries_tpch.rel_argmax_order,
         "rel_groups_of_one": queries_tpch.rel_groups_of_one,
         "rel_union_probe": queries_tpch.rel_union_probe,
         "rel_anti_join": queries_tpch.rel_anti_join,
-        "rel_semi_join": queries_tpch.rel_semi_join,
-        "rel_string_agg": queries_tpch.rel_string_agg,
         "rel_hierarchy_walk": queries_tpch.rel_hierarchy_walk,
-        "rel_sessionize": queries_tpch.rel_sessionize,
-        "rel_pivot": queries_tpch.rel_pivot,
         "rel_rollup": queries_tpch.rel_rollup,
         "rel_salted_rollup": queries_tpch.rel_salted_rollup,
-        "rel_grouping_sets": queries_tpch.rel_grouping_sets,
+        # --- r5 window rotation: the r4 verdict's four tail queries moved
+        # into the driver-graded window, plus the two Structured Streaming
+        # operators now driver-graded against their batch twins' oracles
+        # (stream output must hash-match the batch computation exactly).
+        "rel_longest_name": queries_tpch.rel_longest_name,  # A2/R3 direct row
+        "text_repetition": q.text_repetition,  # Gopher repetition/boilerplate
+        "rel_json_extract": queries_tpch.rel_json_extract,  # typed from_json
+        "text_scrub": q.text_scrub,  # PII scrub; clean corpus = zero-FP check
+        # applyInPandasWithState sessionization fed as 3 time-split files +
+        # watermark-advancing sentinels; closed-session set == rel_sessionize
+        "stream_sessionize": stream_q.stream_sessionize,
+        # foreachBatch incremental linkage + registry MERGE over 2 disjoint
+        # micro-batches; union of epochs == er_resolve_entities
+        "stream_incremental_linkage": stream_q.stream_incremental_linkage,
         # entries past the 50th still run in the local parity gate
         # (tests/test_oracle_parity.py) even if the driver records only 50.
-        # rel_longest_name (A2/R3) sits here because its argmax-window shape
-        # is also exercised by rel_argmax_order; ann_ivf_topk took its slot so
-        # the second ANN scale path gets a driver-graded CORRECTNESS row.
-        "rel_longest_name": queries_tpch.rel_longest_name,
-        # Gopher-style repetition/boilerplate scorer — the in-window
-        # text_quality/text_langid rows grade the text-analysis family;
-        # this one is parity-gated locally.
-        "text_repetition": q.text_repetition,
-        # typed from_json extraction over the semi-structured events.props
-        # column (tool-call-args analog); parity-gated locally.
-        "rel_json_extract": queries_tpch.rel_json_extract,
-        # PII scrub (emails/URLs/digit runs -> placeholders); the parity run
-        # over the clean corpus is its zero-false-positive check.
-        "text_scrub": q.text_scrub,
+        # These six rotate OUT because an in-window row already grades the
+        # same shape: rel_grouping_sets/rel_pivot (grouping-set family via
+        # rel_rollup), rel_semi_join (U3 via rel_anti_join), rel_string_agg
+        # (F6 via er_cluster_summary), rel_q1_agg (partial-agg family via
+        # rel_rollup/rel_join_rollup/rel_percentiles), rel_sessionize (its
+        # EXACT oracle is in-window via stream_sessionize, the strictly
+        # harder streaming path; windowed-frame family also via
+        # rel_window_frames).
+        "rel_sessionize": queries_tpch.rel_sessionize,
+        "rel_pivot": queries_tpch.rel_pivot,
+        "rel_grouping_sets": queries_tpch.rel_grouping_sets,
+        "rel_semi_join": queries_tpch.rel_semi_join,
+        "rel_string_agg": queries_tpch.rel_string_agg,
+        "rel_q1_agg": queries_tpch.rel_q1_agg,
     }
 
 
@@ -135,5 +144,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_dropped_buckets": oracle_docs.dropped_buckets_sql(),
         "text_repetition": oracle_docs.text_repetition_sql(),
         "text_scrub": oracle_docs.text_scrub_sql(),
+        # streaming ops are graded against their BATCH twins' oracles: the
+        # stream must reproduce the batch answer exactly on the same input
+        "stream_sessionize": oracle_tpch.REL_SESSIONIZE,
+        "stream_incremental_linkage": oracle.resolve_entities_sql(),
         **oracle_tpch.ALL,
     }
