@@ -30,7 +30,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "er_normalize_turns": q.er_normalize_turns,
         "er_conv_signatures": q.er_conv_signatures,
-        "er_exact_dup_clusters": q.er_exact_dup_clusters,
         "er_minhash_bands": q.er_minhash_bands,
         "er_block_table": q.er_block_table,
         "er_candidate_pairs": q.er_candidate_pairs,
@@ -80,6 +79,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q.text_repetition,  # Gopher repetition/boilerplate
         "rel_json_extract": queries_tpch.rel_json_extract,  # typed from_json
         "text_scrub": q.text_scrub,  # PII scrub; clean corpus = zero-FP check
+        # six-container decode (incl. PNG pixel path) vs a closed-form
+        # doc_id-arithmetic oracle — converts the one tested-only
+        # first-class family (multimodal) into driver-graded
+        "multimodal_features": q.multimodal_features,
         # applyInPandasWithState sessionization fed as 3 time-split files +
         # watermark-advancing sentinels; closed-session set == rel_sessionize
         "stream_sessionize": stream_q.stream_sessionize,
@@ -96,6 +99,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # EXACT oracle is in-window via stream_sessionize, the strictly
         # harder streaming path; windowed-frame family also via
         # rel_window_frames).
+        # er_exact_dup_clusters rotated out for multimodal_features: its
+        # exact-dup groupBy shape is driver-graded via dedup_exact (A5) and
+        # the md5-signature grouping via er_conv_signatures/er_resolve_entities.
+        "er_exact_dup_clusters": q.er_exact_dup_clusters,
         "rel_sessionize": queries_tpch.rel_sessionize,
         "rel_pivot": queries_tpch.rel_pivot,
         "rel_grouping_sets": queries_tpch.rel_grouping_sets,
@@ -144,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_dropped_buckets": oracle_docs.dropped_buckets_sql(),
         "text_repetition": oracle_docs.text_repetition_sql(),
         "text_scrub": oracle_docs.text_scrub_sql(),
+        "multimodal_features": oracle_docs.multimodal_features_sql(),
         # streaming ops are graded against their BATCH twins' oracles: the
         # stream must reproduce the batch answer exactly on the same input
         "stream_sessionize": oracle_tpch.REL_SESSIONIZE,

@@ -489,6 +489,90 @@ def make_mp4(
     return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
 
 
+# ---------------------------------------------------------------------------
+# Deterministic six-format media synthesizer (driver-graded surface).
+#
+# Every synthesis parameter is a closed-form function of doc_id, so the
+# DuckDB oracle (oracle_docs.multimodal_features_sql) can RE-DERIVE the
+# expected decode output from doc_id arithmetic alone — an independent
+# re-derivation, not a re-run of these decoders. The grid below is the
+# single source of truth for both sides.
+#
+# Shapes: dims entries are (base, mod, div) -> base + (doc_id // div) % mod;
+# duration entries are (base, mod, step) -> base + (doc_id % mod) * step
+# (step chosen so sample counts divide the 8 kHz rate exactly — the decoded
+# duration is then EXACTLY the requested one, no rounding slop).
+SYNTH_FORMATS = ("png", "jpeg", "gif", "wav", "flac", "mp4")
+SYNTH_DIMS = {
+    "png": ((4, 13, 1), (4, 11, 1)),
+    "jpeg": ((16, 240, 1), (16, 240, 7)),
+    "gif": ((8, 100, 1), (8, 100, 3)),
+    "mp4": ((320, 64, 1), (240, 64, 5)),
+}
+SYNTH_MS = {"wav": (500, 97, 37), "flac": (500, 89, 41), "mp4": (1000, 113, 29)}
+SYNTH_PNG_FILTERS = 5  # filter_type = doc_id % 5 — every unfilter path runs
+
+
+def _grid_dim(doc_id: int, spec: tuple[int, int, int]) -> int:
+    base, mod, div = spec
+    return base + (doc_id // div) % mod
+
+
+def _grid_ms(doc_id: int, spec: tuple[int, int, int]) -> int:
+    base, mod, step = spec
+    return base + (doc_id % mod) * step
+
+
+def synth_payload(doc_id: int) -> bytes:
+    """One deterministic container payload per id, format cycling by id%6.
+
+    PNG pixels are per-row constant luma ``(doc_id + row) % 256`` — varying
+    down the column so the Up/Average/Paeth unfilters do real work — with
+    the scanline filter itself cycling ``doc_id % 5``.
+    """
+    fmt = SYNTH_FORMATS[doc_id % 6]
+    if fmt == "png":
+        w, h = (_grid_dim(doc_id, s) for s in SYNTH_DIMS["png"])
+        pixels = b"".join(
+            bytes([(doc_id + r) % 256]) * w for r in range(h)
+        )
+        return make_png(w, h, pixels, filter_type=doc_id % SYNTH_PNG_FILTERS)
+    if fmt == "jpeg":
+        return make_jpeg(*(_grid_dim(doc_id, s) for s in SYNTH_DIMS["jpeg"]))
+    if fmt == "gif":
+        return make_gif(*(_grid_dim(doc_id, s) for s in SYNTH_DIMS["gif"]))
+    if fmt == "wav":
+        return make_wav(_grid_ms(doc_id, SYNTH_MS["wav"]))
+    if fmt == "flac":
+        return make_flac(_grid_ms(doc_id, SYNTH_MS["flac"]))
+    w, h = (_grid_dim(doc_id, s) for s in SYNTH_DIMS["mp4"])
+    return make_mp4(w, h, _grid_ms(doc_id, SYNTH_MS["mp4"]))
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Materialize the six-format binary media table keyed by doc_id.
+
+    Arrow-batched ``mapInPandas`` — payload building is row-local (no
+    shuffle, no driver collect), the stand-in for scanning a real blob
+    column at scale; ``decode_media`` downstream is the graded operator.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": [SYNTH_FORMATS[i % 6] for i in ids],
+                    "payload": [synth_payload(i) for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="media_id bigint, kind string, payload binary"
+    )
+
+
 def _fake_features(kind: str, payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a real decoder: dims/duration from bytes."""
     h = hashlib.md5(payload).digest()

@@ -588,3 +588,61 @@ FROM ({oracle.hot_index_keys_sql()})
 UNION ALL
 SELECT 'embedding_lsh' AS family, bucket AS key, bucket_n AS group_n, pairs_dropped
 FROM ({embedding_dropped_sql(dim)})"""
+
+
+def multimodal_features_sql() -> str:
+    """Closed-form re-derivation of the six-container decode output.
+
+    Every synthesis parameter in ``operators/multimodal.py`` is a pure
+    function of doc_id (SYNTH_DIMS/SYNTH_MS/SYNTH_FORMATS — imported here,
+    single source of truth), so the expected decode result is plain
+    arithmetic: this oracle never runs the Python decoders. For the PNG
+    branch the per-row luma is ``(doc_id + r) % 256`` with height <= 14,
+    so the wrapped-sum / max / zero-row-count close forms exactly (the
+    sequence wraps past 255 at most once; ``wrap`` counts wrapped rows).
+    Exact-half rounding at 6 decimals is impossible for denominators <= 14,
+    so Python round vs DuckDB round cannot disagree.
+    """
+    from .operators.multimodal import SYNTH_DIMS, SYNTH_MS
+
+    def dim(spec: tuple[int, int, int]) -> str:
+        base, mod, div = spec
+        src = "doc_id" if div == 1 else f"(doc_id // {div})"
+        return f"{base} + {src} % {mod}"
+
+    def ms(spec: tuple[int, int, int]) -> str:
+        base, mod, step = spec
+        return f"{base} + (doc_id % {mod}) * {step}"
+
+    pw, ph = (dim(s) for s in SYNTH_DIMS["png"])
+    jw, jh = (dim(s) for s in SYNTH_DIMS["jpeg"])
+    gw, gh = (dim(s) for s in SYNTH_DIMS["gif"])
+    mw, mh = (dim(s) for s in SYNTH_DIMS["mp4"])
+    return f"""WITH m AS (
+  SELECT doc_id, doc_id % 6 AS k, doc_id % 256 AS s,
+         {pw} AS pw, {ph} AS ph
+  FROM documents
+), p AS (
+  SELECT *, GREATEST(0, s + ph - 256) AS wrap FROM m
+)
+SELECT
+  doc_id AS media_id,
+  CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+         WHEN 3 THEN 'wav' WHEN 4 THEN 'flac' ELSE 'mp4' END AS kind,
+  CAST(CASE k WHEN 0 THEN pw WHEN 1 THEN {jw} WHEN 2 THEN {gw}
+              WHEN 5 THEN {mw} ELSE 0 END AS INT) AS width,
+  CAST(CASE k WHEN 0 THEN ph WHEN 1 THEN {jh} WHEN 2 THEN {gh}
+              WHEN 5 THEN {mh} ELSE 0 END AS INT) AS height,
+  CAST(CASE k WHEN 3 THEN {ms(SYNTH_MS["wav"])}
+              WHEN 4 THEN {ms(SYNTH_MS["flac"])}
+              WHEN 5 THEN {ms(SYNTH_MS["mp4"])} ELSE 0 END AS INT) AS duration_ms,
+  CASE WHEN k = 0 THEN round(
+      (ph * s + (ph * (ph - 1)) // 2 - 256 * wrap) / CAST(ph AS DOUBLE), 6)
+  END AS mean_luma,
+  CASE WHEN k = 0 THEN
+      CASE WHEN wrap > 0 THEN 255 ELSE s + ph - 1 END
+  END AS max_luma,
+  CASE WHEN k = 0 THEN round(
+      (ph - CASE WHEN s = 0 OR wrap > 0 THEN 1 ELSE 0 END) / CAST(ph AS DOUBLE), 6)
+  END AS nonzero_frac
+FROM p"""

@@ -144,6 +144,33 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts(_docs(spark, sf_dir))
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real container decode over the six-format synthetic media table.
+
+    ``synth_media`` builds one PNG/JPEG/GIF/WAV/FLAC/MP4 payload per doc_id
+    (every parameter a closed-form function of the id); ``decode_media``
+    then header-parses all six containers and pixel-decodes the PNGs
+    (zlib inflate + scanline unfilter). The DuckDB oracle re-derives every
+    expected feature from doc_id arithmetic alone, so a green row proves
+    the whole mapInPandas decode path — magic-byte dispatch, IDAT inflate,
+    all five unfilters, duration math — byte-for-byte.
+    n_bytes/feature_hash are excluded: they depend on zlib's compressed
+    encoding, which no independent oracle can re-derive.
+    """
+    from .operators.multimodal import decode_media, synth_media
+
+    return decode_media(synth_media(_docs(spark, sf_dir))).select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "duration_ms",
+        "mean_luma",
+        "max_luma",
+        "nonzero_frac",
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import text_langid as tl
 
