@@ -20,7 +20,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .salting import salted_join
+
 MAX_BLOCK_SIZE = 100
+# blocks at >= this fraction of the cap count as hot for the pair self-join:
+# the cap bounds the quadratic cell, but a 100-row block is still a 100x100
+# join cell landing on ONE reducer under hash partitioning
+HOT_BLOCK_FRACTION = 0.5
 
 
 def block_sizes(blocks: DataFrame) -> DataFrame:
@@ -42,22 +48,49 @@ def capped_blocks(blocks: DataFrame, max_block_size: int = MAX_BLOCK_SIZE) -> tu
 
 
 def candidate_pairs(
-    blocks: DataFrame, max_block_size: int = MAX_BLOCK_SIZE, persist: bool = True
+    blocks: DataFrame,
+    max_block_size: int = MAX_BLOCK_SIZE,
+    persist: bool = True,
+    salt_hot_blocks: bool | None = None,
 ) -> DataFrame:
     """(conv_a, conv_b) with conv_a < conv_b, deduped across key families.
 
     ``blocks`` fans out into three consumers (size stats, both join sides), so
     it is persisted first — on a cluster this is the stage you'd checkpoint;
     recomputing the MinHash explode three times is never the right plan.
+
+    Residual skew below the cap: blocks the cap keeps can still be ~cap-sized
+    (a 100-row block = a 100x100 join cell on one reducer). With
+    ``salt_hot_blocks=None`` one O(1) aggregate over the (persisted) block
+    sizes decides — the same runtime-stats-then-replan move AQE makes, but
+    ahead of the shuffle AQE can only split after materializing. When any
+    near-cap block exists, the self-join routes through ``salted_join``: the
+    a-side salted by conv-id hash, the b-side replicated per salt, cold
+    blocks on the plain path. The pair SET is identical either way (salting
+    only re-partitions the enumeration), so every downstream oracle is
+    unaffected.
     """
     if persist:
         blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
     kept, _ = capped_blocks(blocks, max_block_size)
+    hot_threshold = max(2, int(max_block_size * HOT_BLOCK_FRACTION))
+    if salt_hot_blocks is None:
+        salt_hot_blocks = bool(
+            block_sizes(kept)
+            .filter(F.col("block_n") >= hot_threshold)
+            .limit(1)
+            .count()
+        )
     a = kept.select(F.col("block_key"), F.col("conv_id").alias("conv_a"))
     b = kept.select(F.col("block_key"), F.col("conv_id").alias("conv_b"))
+    if salt_hot_blocks:
+        # hot_keys uses a strict >, so near-cap blocks (>= hot_threshold)
+        # land on the salted path exactly when the auto-probe saw them
+        joined = salted_join(a, b, "block_key", "conv_a", threshold=hot_threshold - 1)
+    else:
+        joined = a.join(b, "block_key")
     return (
-        a.join(b, "block_key")
-        .filter(F.col("conv_a") < F.col("conv_b"))
+        joined.filter(F.col("conv_a") < F.col("conv_b"))
         .select("conv_a", "conv_b")
         .dropDuplicates(["conv_a", "conv_b"])
     )

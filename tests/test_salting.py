@@ -107,3 +107,33 @@ def test_salt_spreads_hot_key(spark):
     ]
     assert len(counts) == n_salts
     assert max(counts) < sum(counts) * 0.2  # no salt bucket dominates
+
+
+def test_candidate_pairs_salts_near_cap_blocks(spark):
+    """Live-path integration (r4 advice): candidate_pairs auto-routes
+    near-cap blocks through salted_join and the pair SET is unchanged.
+
+    The probe sees the 80-row block (>= cap * HOT_BLOCK_FRACTION = 50) and
+    picks the salted plan — visible as the deterministic xxhash64 salt in
+    the optimized plan; a uniform fixture picks the plain join."""
+    from addressparser_spark.operators.pairs import candidate_pairs
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    hot = [("hot", f"h{i:03d}") for i in range(80)]
+    cold = [(f"b{j}", f"c{j:03d}x{k}") for j in range(40) for k in range(3)]
+    blocks = spark.createDataFrame(hot + cold, ["block_key", "conv_id"])
+
+    auto = candidate_pairs(blocks, persist=False)
+    assert "xxhash64" in plan(auto)  # probe chose the salted self-join
+    plain = candidate_pairs(blocks, persist=False, salt_hot_blocks=False)
+    assert "xxhash64" not in plan(plain)
+
+    got = {(r["conv_a"], r["conv_b"]) for r in auto.collect()}
+    want = {(r["conv_a"], r["conv_b"]) for r in plain.collect()}
+    assert got == want
+    assert len(want) == 80 * 79 // 2 + 40 * 3  # hot block pairs + 3 per cold block
+
+    uniform = spark.createDataFrame(cold, ["block_key", "conv_id"])
+    assert "xxhash64" not in plan(candidate_pairs(uniform, persist=False))
