@@ -120,3 +120,42 @@ def test_golden_clusters(spark, sf_dir):
         for r in q.er_linkage_clusters(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_flagship_invariant_under_parallelism():
+    """SURVEY §5's strongest determinism property: the END-TO-END flagship
+    (normalize -> block -> score -> connected components) produces a
+    byte-identical cluster map at local[1] and at the multi-core default —
+    at sf0.01, a full scale step above the rest of the suite.
+
+    Runs both sides in subprocesses (one JVM allows one master per process)
+    and compares an md5 over the sorted (conv_id, cluster_id) map. This is
+    the same invariance the N-vs-4N scaling evidence in BASELINE.md depends
+    on: if results drifted with parallelism, throughput scaling would be
+    meaningless.
+    """
+    import hashlib
+    import subprocess
+    import sys
+
+    prog = r"""
+import hashlib, json, sys
+from addressparser_spark.session import get_spark
+from addressparser_spark import queries as q
+spark = get_spark(app="invariance", cores=sys.argv[1], shuffle_partitions=int(sys.argv[2]), driver_memory="4g")
+rows = sorted((r["conv_id"], r["cluster_id"]) for r in q.er_linkage_clusters(spark, "/root/testdata/sf0.01").collect())
+print("HASH", hashlib.md5(json.dumps(rows).encode()).hexdigest(), len(rows))
+"""
+
+    def run(cores: str, parts: str) -> str:
+        out = subprocess.run(
+            [sys.executable, "-c", prog, cores, parts],
+            capture_output=True, text=True, timeout=900, cwd="/root/repo",
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("HASH ")]
+        assert lines, f"no HASH line (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+        return lines[0]
+
+    serial = run("1", "1")
+    parallel = run("8", "32")
+    assert serial == parallel
