@@ -20,6 +20,12 @@ Semantics (mirrored exactly by ``stem_tokens_col`` and ``stem_case_sql``):
    second when-chain over DOUBLED (RE2 in DuckDB has no backreferences, so
    both engines enumerate the pairs identically);
 3. no rule fires -> token unchanged (non-ASCII tokens pass through).
+
+The rule table is PER-LANGUAGE DATA, not engine logic: DEFAULT_STEM_RULES
+covers English suffixes because the transcript domain's tool/role tokens are
+English. Another corpus swaps in its own (suffix, replacement) table — and
+the reference's CONTAINS behaves the same way, delegating inflection to the
+database's configured language stemmer.
 """
 
 from __future__ import annotations
