@@ -11,16 +11,20 @@ chunk walk), JPEG (segment walk to the SOF frame header), GIF (logical
 screen descriptor), WAV (RIFF chunk walk, duration from data size / fmt
 byte rate), FLAC (STREAMINFO sample_rate/total_samples bit-unpack), and
 MP4/ISO-BMFF (box-tree walk: ``mvhd`` timescale+duration for duration_ms,
-``tkhd`` 16.16 fixed-point width/height). PNG additionally gets a FULL
-pixel decode (``_png_content``: zlib inflate + scanline unfilter for all
-five PNG filters) emitting real content stats — mean/max luma and the
-nonzero-pixel fraction. Payloads in none of those containers fall back
-to a deterministic md5-derived stub when ``deterministic_fake`` is set,
-else raise ``NotImplementedError`` — the Spark plumbing (schema, batching,
-partitioning, UDF signatures) is identical on every path, so swapping in
-PIL/ffmpeg later changes only the per-row parse (the remaining stub surface
-is compressed audio/video sample data; every header-level fact and PNG
-pixel-level fact is already real).
+``tkhd`` 16.16 fixed-point width/height). Two containers additionally get a
+FULL content decode: PNG (``_png_content``: zlib inflate + scanline
+unfilter for all five PNG filters — mean/max luma, nonzero-pixel fraction)
+and WAV (``_wav_content``: the 8-bit mono PCM data chunk read directly —
+mean/max amplitude, nonzero-sample fraction; WAV payloads are
+uncompressed, so the sample decode is pure byte arithmetic). Payloads in
+none of those containers fall back to a deterministic md5-derived stub
+when ``deterministic_fake`` is set, else raise ``NotImplementedError`` —
+the Spark plumbing (schema, batching, partitioning, UDF signatures) is
+identical on every path, so swapping in PIL/ffmpeg later changes only the
+per-row parse (the remaining stub surface is COMPRESSED-codec sample data
+— JPEG/GIF entropy streams, FLAC frames, MP4 media — which stdlib cannot
+decode; every header-level fact, PNG pixel fact and WAV sample fact is
+already real).
 """
 
 from __future__ import annotations
@@ -255,6 +259,52 @@ def _flac_duration_ms(payload: bytes) -> int | None:
     return round(total_samples * 1000 / sample_rate)
 
 
+def _wav_content(payload: bytes) -> tuple[float, int, float] | None:
+    """(mean_amp, max_amp, nonzero_frac) from a FULL WAV sample decode.
+
+    WAV is the audio container whose payload is UNCOMPRESSED — for 8-bit
+    mono PCM the ``data`` chunk IS the sample stream, so content decode is
+    a direct byte read (the audio analog of ``_png_content``; the three
+    stat columns carry amplitude stats for audio rows). Only format 1
+    (PCM) / 1 channel / 8-bit payloads qualify; anything else degrades to
+    NULL content stats, never to a crash.
+
+    The mean and nonzero fraction are rounded half-up at 6 decimals in
+    INTEGER arithmetic: sample counts reach ~32k here, where exact
+    .xxxxxx5 ties are reachable and Python's float round (half-even) and
+    a SQL oracle's (half-away) could disagree — the integer form is
+    tie-free and bit-identical in both engines.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+        if off + 8 + size > len(payload):
+            return None  # truncated chunk
+        if cid == b"fmt " and size >= 16:
+            fmt = payload[off + 8 : off + 24]
+        elif cid == b"data":
+            data = payload[off + 8 : off + 8 + size]
+        off += 8 + size + (size & 1)
+    if fmt is None or data is None or not data:
+        return None
+    audio_format, channels = struct.unpack("<HH", fmt[0:4])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if audio_format != 1 or channels != 1 or bits != 8:
+        return None
+    n = len(data)
+    total = sum(data)
+    nz = n - data.count(0)
+    return (
+        ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
+        max(data),
+        ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
+    )
+
+
 def _wav_duration_ms(payload: bytes) -> int | None:
     """Duration of a RIFF/WAVE payload in ms; None if not a WAV.
 
@@ -418,11 +468,19 @@ def make_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + seg(0xE0, app0) + seg(0xC0, sof0) + b"\xff\xd9"
 
 
-def make_wav(duration_ms: int, sample_rate: int = 8000) -> bytes:
-    """Build a minimal valid 8-bit mono PCM WAV of the given duration."""
+def make_wav(
+    duration_ms: int, sample_rate: int = 8000, samples: bytes | None = None
+) -> bytes:
+    """Build a minimal valid 8-bit mono PCM WAV of the given duration.
+
+    ``samples`` is the raw unsigned-8-bit sample stream (len must equal
+    ``sample_rate * duration_ms // 1000``; silence when omitted) — how the
+    ``_wav_content`` sample-decode path gets exercised by fixtures.
+    """
     n_samples = sample_rate * duration_ms // 1000
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
-    data = bytes(n_samples)
+    data = bytes(n_samples) if samples is None else samples
+    assert len(data) == n_samples
     riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
     return (
         b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
@@ -512,6 +570,14 @@ SYNTH_DIMS = {
 SYNTH_MS = {"wav": (500, 97, 37), "flac": (500, 89, 41), "mp4": (1000, 113, 29)}
 SYNTH_PNG_FILTERS = 5  # filter_type = doc_id % 5 — every unfilter path runs
 
+_CYCLE = bytes(range(256))
+
+
+def _cycle_bytes(start: int, n: int) -> bytes:
+    """n bytes of the sequence (start + i) % 256 — the synth sample/pixel law."""
+    s = start % 256
+    return (_CYCLE * (n // 256 + 2))[s : s + n]
+
 
 def _grid_dim(doc_id: int, spec: tuple[int, int, int]) -> int:
     base, mod, div = spec
@@ -542,7 +608,10 @@ def synth_payload(doc_id: int) -> bytes:
     if fmt == "gif":
         return make_gif(*(_grid_dim(doc_id, s) for s in SYNTH_DIMS["gif"]))
     if fmt == "wav":
-        return make_wav(_grid_ms(doc_id, SYNTH_MS["wav"]))
+        d = _grid_ms(doc_id, SYNTH_MS["wav"])
+        # real PCM samples on the same (doc_id + i) % 256 law as PNG rows,
+        # so the oracle's closed-form wrapped-sum covers audio content too
+        return make_wav(d, samples=_cycle_bytes(doc_id, 8 * d))
     if fmt == "flac":
         return make_flac(_grid_ms(doc_id, SYNTH_MS["flac"]))
     w, h = (_grid_dim(doc_id, s) for s in SYNTH_DIMS["mp4"])
@@ -628,9 +697,10 @@ def decode_media(media: DataFrame, deterministic_fake: bool = True) -> DataFrame
                 _features(k, p, deterministic_fake)
                 for k, p in zip(pdf["kind"], payloads)
             ]
-            # content stats only where the payload pixel-decodes (PNG);
-            # header-only containers keep NULLs — degrade, never fake
-            content = [_png_content(p) for p in payloads]
+            # content stats where the payload FULLY decodes: PNG pixels
+            # (zlib+unfilter) and WAV PCM samples (uncompressed byte read);
+            # compressed-codec containers keep NULLs — degrade, never fake
+            content = [_png_content(p) or _wav_content(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

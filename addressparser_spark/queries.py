@@ -149,11 +149,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``synth_media`` builds one PNG/JPEG/GIF/WAV/FLAC/MP4 payload per doc_id
     (every parameter a closed-form function of the id); ``decode_media``
-    then header-parses all six containers and pixel-decodes the PNGs
-    (zlib inflate + scanline unfilter). The DuckDB oracle re-derives every
-    expected feature from doc_id arithmetic alone, so a green row proves
-    the whole mapInPandas decode path — magic-byte dispatch, IDAT inflate,
-    all five unfilters, duration math — byte-for-byte.
+    then header-parses all six containers, pixel-decodes the PNGs (zlib
+    inflate + scanline unfilter) and sample-decodes the WAV PCM streams.
+    The DuckDB oracle re-derives every expected feature from doc_id
+    arithmetic alone, so a green row proves the whole mapInPandas decode
+    path — magic-byte dispatch, IDAT inflate, all five unfilters, PCM
+    sample stats, duration math — byte-for-byte.
     n_bytes/feature_hash are excluded: they depend on zlib's compressed
     encoding, which no independent oracle can re-derive.
     """

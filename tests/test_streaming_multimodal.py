@@ -12,6 +12,7 @@ from addressparser_spark.operators.multimodal import (
     _wav_duration_ms,
     decode_media,
     frame_sample,
+    make_jpeg,
     make_png,
     make_wav,
     media_from_documents,
@@ -309,10 +310,12 @@ def test_png_pixel_decode_all_filters(spark):
         _png_content(full[:i])
     assert _png_content(b"not a png but comfortably long enough....") is None
 
-    # mapInPandas surface: content stats ride along; non-PNG rows stay NULL
+    # mapInPandas surface: content stats ride along for the fully-decodable
+    # containers (PNG pixels, WAV PCM samples); compressed codecs stay NULL
     rows = [
         (1, "image", full, (len(full), "image/png", "t")),
         (2, "audio", make_wav(1500), (len(make_wav(1500)), "audio/wav", "t")),
+        (3, "image", make_jpeg(32, 16), (len(make_jpeg(32, 16)), "image/jpeg", "t")),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     feats = {
@@ -322,4 +325,58 @@ def test_png_pixel_decode_all_filters(spark):
     assert feats[1]["mean_luma"] == want_mean
     assert feats[1]["max_luma"] == want_max
     assert feats[1]["nonzero_frac"] == want_nonzero
-    assert feats[2]["mean_luma"] is None and feats[2]["max_luma"] is None
+    # silent WAV: real sample stats, all zero (previously NULL-stubbed)
+    assert feats[2]["mean_luma"] == 0.0 and feats[2]["max_luma"] == 0
+    assert feats[2]["nonzero_frac"] == 0.0
+    # JPEG entropy stream is compressed — content stats stay NULL
+    assert feats[3]["mean_luma"] is None and feats[3]["max_luma"] is None
+
+
+def test_wav_sample_decode():
+    """_wav_content reads the real PCM byte stream: stats match a brute-force
+    fold over the same samples (integer half-up rounding at 6 decimals),
+    and non-qualifying payloads (non-PCM fmt, stereo, 16-bit, truncation,
+    empty data) degrade to None rather than crash."""
+    import struct
+
+    from addressparser_spark.operators.multimodal import (
+        _cycle_bytes,
+        _wav_content,
+        synth_payload,
+    )
+
+    def ground_truth(samples: bytes):
+        n = len(samples)
+        total, nz = sum(samples), sum(1 for b in samples if b)
+        return (
+            ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
+            max(samples),
+            ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
+        )
+
+    for start, d in ((0, 500), (200, 1000), (255, 2719)):
+        samples = _cycle_bytes(start, 8 * d)
+        assert samples == bytes((start + i) % 256 for i in range(8 * d))
+        assert _wav_content(make_wav(d, samples=samples)) == ground_truth(samples)
+
+    # the synth law end-to-end for a wav doc_id (3 mod 6)
+    payload = synth_payload(9)  # 9 % 6 == 3 -> wav, d = 500 + 9*37, s = 9
+    d = 500 + (9 % 97) * 37
+    assert _wav_content(payload) == ground_truth(_cycle_bytes(9, 8 * d))
+
+    good = make_wav(500, samples=_cycle_bytes(1, 4000))
+    assert _wav_content(good) is not None
+    for i in range(0, len(good), 997):
+        _wav_content(good[:i])  # truncation sweep: never raises
+    assert _wav_content(b"RIFFxxxxWAVE") is None
+    assert _wav_content(good[:44]) is None  # header only, empty data chunk
+    # non-PCM format code / stereo / 16-bit all demote to header-only
+    bad_fmt = bytearray(good)
+    bad_fmt[20:22] = struct.pack("<H", 3)  # IEEE float, not PCM
+    assert _wav_content(bytes(bad_fmt)) is None
+    stereo = bytearray(good)
+    stereo[22:24] = struct.pack("<H", 2)
+    assert _wav_content(bytes(stereo)) is None
+    wide = bytearray(good)
+    wide[34:36] = struct.pack("<H", 16)
+    assert _wav_content(bytes(wide)) is None
