@@ -11,20 +11,21 @@ chunk walk), JPEG (segment walk to the SOF frame header), GIF (logical
 screen descriptor), WAV (RIFF chunk walk, duration from data size / fmt
 byte rate), FLAC (STREAMINFO sample_rate/total_samples bit-unpack), and
 MP4/ISO-BMFF (box-tree walk: ``mvhd`` timescale+duration for duration_ms,
-``tkhd`` 16.16 fixed-point width/height). Two containers additionally get a
-FULL content decode: PNG (``_png_content``: zlib inflate + scanline
-unfilter for all five PNG filters — mean/max luma, nonzero-pixel fraction)
-and WAV (``_wav_content``: the 8-bit mono PCM data chunk read directly —
+``tkhd`` 16.16 fixed-point width/height). Three containers additionally get
+a FULL content decode: PNG (``_png_content``: zlib inflate + scanline
+unfilter for all five PNG filters — mean/max luma, nonzero-pixel fraction),
+WAV (``_wav_content``: the 8-bit mono PCM data chunk read directly —
 mean/max amplitude, nonzero-sample fraction; WAV payloads are
-uncompressed, so the sample decode is pure byte arithmetic). Payloads in
-none of those containers fall back to a deterministic md5-derived stub
-when ``deterministic_fake`` is set, else raise ``NotImplementedError`` —
-the Spark plumbing (schema, batching, partitioning, UDF signatures) is
-identical on every path, so swapping in PIL/ffmpeg later changes only the
-per-row parse (the remaining stub surface is COMPRESSED-codec sample data
-— JPEG/GIF entropy streams, FLAC frames, MP4 media — which stdlib cannot
-decode; every header-level fact, PNG pixel fact and WAV sample fact is
-already real).
+uncompressed, so the sample decode is pure byte arithmetic) and GIF
+(``_gif_content``: a real variable-width LZW decoder over the index
+stream, palette-mapped to luma). Payloads in none of those containers fall
+back to a deterministic md5-derived stub when ``deterministic_fake`` is
+set, else raise ``NotImplementedError`` — the Spark plumbing (schema,
+batching, partitioning, UDF signatures) is identical on every path, so
+swapping in PIL/ffmpeg later changes only the per-row parse (the remaining
+stub surface is entropy/DCT-codec sample data — JPEG scan data, FLAC
+frames, MP4 media — which stdlib cannot decode; every header-level fact
+and every PNG/GIF pixel and WAV sample fact is already real).
 """
 
 from __future__ import annotations
@@ -220,6 +221,193 @@ def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
             height, width = struct.unpack(">HH", payload[off + 3 : off + 7])
             return width, height
         off += size
+    return None
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> bytes | None:
+    """Full GIF-variant LZW decode (LSB-first variable-width codes).
+
+    Standard table-rebuild decoder: CLEAR resets the dictionary, EOI stops,
+    code width grows from ``min_code_size + 1`` up to 12 bits as the
+    dictionary fills, and the ``code == len(dict)`` case reconstructs the
+    just-defined entry (``prev + prev[0]``). Returns None on any invalid
+    code — degrade, never crash.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_i, bit_o = divmod(bitpos, 8)
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(roots)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        if len(table) >= (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def _lzw_encode(min_code_size: int, data: bytes) -> bytes:
+    """Real GIF LZW encoder (fixture side of :func:`_lzw_decode`).
+
+    Greedy longest-prefix coding with the growth rule synchronized to the
+    decoder (grow when ``next_code`` exceeds the current width's capacity;
+    emit CLEAR when the 12-bit table fills)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    cur = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code >= 4096:
+            emit(clear)
+            table = fresh()
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _gif_content(payload: bytes) -> tuple[float, int, float] | None:
+    """(mean_luma, max_luma, nonzero_frac) from a FULL GIF pixel decode.
+
+    The first compressed-codec content decoder: walks the logical screen
+    descriptor + global color table, skips extension blocks, reads the
+    first non-interlaced image descriptor (local palette honored), LZW-
+    decodes the index stream and maps indices through the palette to luma
+    ``(r + g + b) // 3``. Anything else (interlace, truncation, bad codes,
+    out-of-palette indices) returns None — header dims still come from
+    ``_gif_dims``, so stats degrade to NULL, never to a crash. Rounding is
+    the same integer half-up at 6 decimals as ``_wav_content`` (pixel
+    counts here make exact ties reachable).
+    """
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = payload[13 : 13 + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        off = 13 + 3 * n
+    while off < len(payload):
+        b0 = payload[off]
+        if b0 == 0x21:  # extension: introducer + label, then sub-blocks
+            off += 2
+            while off < len(payload) and payload[off] != 0:
+                off += 1 + payload[off]
+            off += 1
+        elif b0 == 0x2C:  # image descriptor
+            if off + 10 > len(payload):
+                return None
+            iw, ih = struct.unpack("<HH", payload[off + 5 : off + 9])
+            ipacked = payload[off + 9]
+            off += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 2 ** ((ipacked & 7) + 1)
+                pal = payload[off : off + 3 * n]
+                if len(pal) < 3 * n:
+                    return None
+                off += 3 * n
+            if ipacked & 0x40 or pal is None or not iw or not ih:
+                return None  # interlace out of scope / no palette
+            if off >= len(payload):
+                return None
+            mcs = payload[off]
+            off += 1
+            if not 2 <= mcs <= 8:
+                return None
+            data = bytearray()
+            while off < len(payload) and payload[off] != 0:
+                ln = payload[off]
+                chunk = payload[off + 1 : off + 1 + ln]
+                if len(chunk) < ln:
+                    return None  # truncated sub-block
+                data += chunk
+                off += 1 + ln
+            if off >= len(payload):
+                return None  # missing block terminator
+            idx = _lzw_decode(mcs, bytes(data))
+            if idx is None or len(idx) < iw * ih:
+                return None
+            n_pal = len(pal) // 3
+            n = iw * ih
+            total = nz = max_luma = 0
+            for i in idx[:n]:
+                if i >= n_pal:
+                    return None
+                luma = (pal[3 * i] + pal[3 * i + 1] + pal[3 * i + 2]) // 3
+                total += luma
+                nz += luma != 0
+                if luma > max_luma:
+                    max_luma = luma
+            return (
+                ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
+                max_luma,
+                ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
+            )
+        else:  # trailer (0x3B) or junk before any image data
+            return None
     return None
 
 
@@ -489,12 +677,33 @@ def make_wav(
     )
 
 
-def make_gif(width: int, height: int) -> bytes:
-    """Build a minimal valid GIF89a (header + screen descriptor + trailer)."""
+def make_gif(width: int, height: int, pixels: bytes | None = None) -> bytes:
+    """Build a valid GIF89a. Header-only when ``pixels`` is omitted
+    (screen descriptor + trailer — dims parse, content degrades to NULL);
+    with ``pixels`` (row-major luma, len == width*height) a full image:
+    256-entry grayscale global color table (palette index == luma) + a
+    REAL LZW-compressed index stream in <=255-byte sub-blocks."""
+    if pixels is None:
+        return (
+            b"GIF89a" + struct.pack("<HH", width, height)
+            + bytes([0x00, 0x00, 0x00])  # no global color table, bg, aspect
+            + b"\x3b"  # trailer
+        )
+    assert len(pixels) == width * height
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    lzw = _lzw_encode(8, pixels)
+    blocks = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
     return (
         b"GIF89a" + struct.pack("<HH", width, height)
-        + bytes([0x00, 0x00, 0x00])  # no global color table, bg, aspect
-        + b"\x3b"  # trailer
+        + bytes([0xF7, 0x00, 0x00])  # GCT present, 8-bit, bg 0, aspect 0
+        + gct
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + bytes([8])  # LZW min code size
+        + blocks + b"\x00"  # sub-blocks + terminator
+        + b"\x3b"
     )
 
 
@@ -606,7 +815,11 @@ def synth_payload(doc_id: int) -> bytes:
     if fmt == "jpeg":
         return make_jpeg(*(_grid_dim(doc_id, s) for s in SYNTH_DIMS["jpeg"]))
     if fmt == "gif":
-        return make_gif(*(_grid_dim(doc_id, s) for s in SYNTH_DIMS["gif"]))
+        gw, gh = (_grid_dim(doc_id, s) for s in SYNTH_DIMS["gif"])
+        # same per-row (doc_id + row) % 256 luma law as PNG, through the
+        # grayscale palette — the oracle reuses the wrapped-sum close form
+        pixels = b"".join(bytes([(doc_id + r) % 256]) * gw for r in range(gh))
+        return make_gif(gw, gh, pixels)
     if fmt == "wav":
         d = _grid_ms(doc_id, SYNTH_MS["wav"])
         # real PCM samples on the same (doc_id + i) % 256 law as PNG rows,
@@ -698,9 +911,13 @@ def decode_media(media: DataFrame, deterministic_fake: bool = True) -> DataFrame
                 for k, p in zip(pdf["kind"], payloads)
             ]
             # content stats where the payload FULLY decodes: PNG pixels
-            # (zlib+unfilter) and WAV PCM samples (uncompressed byte read);
-            # compressed-codec containers keep NULLs — degrade, never fake
-            content = [_png_content(p) or _wav_content(p) for p in payloads]
+            # (zlib+unfilter), WAV PCM samples (uncompressed byte read) and
+            # GIF pixels (real LZW decode + palette mapping); the remaining
+            # entropy/DCT codecs keep NULLs — degrade, never fake
+            content = [
+                _png_content(p) or _wav_content(p) or _gif_content(p)
+                for p in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -603,6 +603,13 @@ def multimodal_features_sql() -> str:
     Exact-half rounding at 6 decimals is impossible for denominators <= 14,
     so Python round vs DuckDB round cannot disagree.
 
+    The GIF branch re-derives the pixel stats from the same per-row
+    ``(doc_id + r) % 256`` law as PNG (the LZW round-trip is lossless and
+    the palette is the grayscale identity, so decoded luma follows the law
+    exactly); integer half-up rounding on the row denominator — identical
+    to ``_gif_content``'s pixel-denominator form because the common width
+    factor cancels inside the floor division.
+
     The WAV branch re-derives the PCM sample stats the same way: samples
     follow the identical ``(doc_id + i) % 256`` law over ``n = 8 * ms``
     bytes, so the sum is ``full_cycles * 32640`` plus the same wrapped
@@ -628,12 +635,13 @@ def multimodal_features_sql() -> str:
     mw, mh = (dim(s) for s in SYNTH_DIMS["mp4"])
     return f"""WITH m AS (
   SELECT doc_id, doc_id % 6 AS k, doc_id % 256 AS s,
-         {pw} AS pw, {ph} AS ph,
+         {pw} AS pw, {ph} AS ph, {gh} AS gh,
          8 * ({ms(SYNTH_MS["wav"])}) AS wn
   FROM documents
 ), p AS (
   SELECT *,
          GREATEST(0, s + ph - 256) AS wrap,
+         GREATEST(0, s + gh - 256) AS gwrap,
          wn // 256 AS cyc, wn % 256 AS rem,
          GREATEST(0, s + wn % 256 - 256) AS wrap2,
          (256 - s) % 256 AS i0
@@ -641,7 +649,9 @@ def multimodal_features_sql() -> str:
 ), w AS (
   SELECT *,
          cyc * 32640 + rem * s + (rem * (rem - 1)) // 2 - 256 * wrap2 AS wsum,
-         CASE WHEN i0 >= wn THEN 0 ELSE 1 + (wn - 1 - i0) // 256 END AS wzero
+         CASE WHEN i0 >= wn THEN 0 ELSE 1 + (wn - 1 - i0) // 256 END AS wzero,
+         gh * s + (gh * (gh - 1)) // 2 - 256 * gwrap AS gsum,
+         CASE WHEN s = 0 OR GREATEST(0, s + gh - 256) > 0 THEN 1 ELSE 0 END AS gzero
   FROM p
 )
 SELECT
@@ -657,15 +667,19 @@ SELECT
               WHEN 5 THEN {ms(SYNTH_MS["mp4"])} ELSE 0 END AS INT) AS duration_ms,
   CASE WHEN k = 0 THEN round(
       (ph * s + (ph * (ph - 1)) // 2 - 256 * wrap) / CAST(ph AS DOUBLE), 6)
+       WHEN k = 2 THEN ((2 * gsum * 1000000 + gh) // (2 * gh)) / 1000000.0
        WHEN k = 3 THEN ((2 * wsum * 1000000 + wn) // (2 * wn)) / 1000000.0
   END AS mean_luma,
   CASE WHEN k = 0 THEN
       CASE WHEN wrap > 0 THEN 255 ELSE s + ph - 1 END
+       WHEN k = 2 THEN
+      CASE WHEN gwrap > 0 THEN 255 ELSE s + gh - 1 END
        WHEN k = 3 THEN
       CASE WHEN cyc > 0 OR wrap2 > 0 THEN 255 ELSE s + rem - 1 END
   END AS max_luma,
   CASE WHEN k = 0 THEN round(
       (ph - CASE WHEN s = 0 OR wrap > 0 THEN 1 ELSE 0 END) / CAST(ph AS DOUBLE), 6)
+       WHEN k = 2 THEN ((2 * (gh - gzero) * 1000000 + gh) // (2 * gh)) / 1000000.0
        WHEN k = 3 THEN ((2 * (wn - wzero) * 1000000 + wn) // (2 * wn)) / 1000000.0
   END AS nonzero_frac
 FROM w"""

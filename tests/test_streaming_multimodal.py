@@ -380,3 +380,69 @@ def test_wav_sample_decode():
     wide = bytearray(good)
     wide[34:36] = struct.pack("<H", 16)
     assert _wav_content(bytes(wide)) is None
+
+
+def test_gif_lzw_round_trip():
+    """The LZW pair is a REAL codec: encoder output decodes back to the
+    exact input across code-width growth (9->12 bits) and the table-full
+    CLEAR/reset path, and the decoder survives truncation/garbage."""
+    from addressparser_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    # varied deterministic stream long enough to fill the 12-bit table and
+    # force a mid-stream CLEAR (new dict entry on almost every symbol)
+    noisy = bytes((i * 37 + (i >> 3) * 11 + (i >> 7)) % 256 for i in range(20_000))
+    for data in (
+        b"\x00",
+        bytes(300),                      # runs: multi-symbol table entries
+        bytes(range(256)) * 3,           # cycling law used by the synthesizer
+        noisy,
+    ):
+        enc = _lzw_encode(8, data)
+        assert _lzw_decode(8, enc) == data
+    enc = _lzw_encode(8, noisy)
+    for i in range(0, len(enc), 499):
+        _lzw_decode(8, enc[:i])  # truncation sweep: never raises
+    assert _lzw_decode(8, b"") == b""
+
+
+def test_gif_pixel_decode():
+    """_gif_content decodes real GIF image data: stats match a brute-force
+    fold over the pixels; header-only / interlaced / truncated payloads
+    degrade to None."""
+    from addressparser_spark.operators.multimodal import (
+        _gif_content,
+        _gif_dims,
+        make_gif,
+        synth_payload,
+    )
+
+    def ground_truth(pixels: bytes):
+        n = len(pixels)
+        total, nz = sum(pixels), sum(1 for b in pixels if b)
+        return (
+            ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
+            max(pixels),
+            ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
+        )
+
+    for w, h, seed in ((8, 8, 0), (31, 17, 200), (107, 107, 250)):
+        pixels = b"".join(bytes([(seed + r) % 256]) * w for r in range(h))
+        gif = make_gif(w, h, pixels)
+        assert _gif_dims(gif) == (w, h)
+        assert _gif_content(gif) == ground_truth(pixels)
+
+    # synth law end-to-end for a gif doc_id (2 mod 6): w=8+id%100, h=8+(id//3)%100
+    payload = synth_payload(2)
+    pixels = b"".join(bytes([(2 + r) % 256]) * (8 + 2) for r in range(8 + 0))
+    assert _gif_content(payload) == ground_truth(pixels)
+
+    assert _gif_content(make_gif(9, 9)) is None  # header-only: no image data
+    full = make_gif(16, 16, bytes(range(256)))
+    for i in range(0, len(full), 101):
+        _gif_content(full[:i])  # truncation sweep: never raises
+    interlaced = bytearray(full)
+    # image descriptor follows the 13-byte header + 768-byte GCT
+    assert interlaced[13 + 768] == 0x2C
+    interlaced[13 + 768 + 9] |= 0x40
+    assert _gif_content(bytes(interlaced)) is None
+    assert _gif_content(b"GIF89a" + bytes(20)) is None
