@@ -11,21 +11,23 @@ chunk walk), JPEG (segment walk to the SOF frame header), GIF (logical
 screen descriptor), WAV (RIFF chunk walk, duration from data size / fmt
 byte rate), FLAC (STREAMINFO sample_rate/total_samples bit-unpack), and
 MP4/ISO-BMFF (box-tree walk: ``mvhd`` timescale+duration for duration_ms,
-``tkhd`` 16.16 fixed-point width/height). Three containers additionally get
+``tkhd`` 16.16 fixed-point width/height). Four containers additionally get
 a FULL content decode: PNG (``_png_content``: zlib inflate + scanline
 unfilter for all five PNG filters — mean/max luma, nonzero-pixel fraction),
 WAV (``_wav_content``: the 8-bit mono PCM data chunk read directly —
-mean/max amplitude, nonzero-sample fraction; WAV payloads are
-uncompressed, so the sample decode is pure byte arithmetic) and GIF
+uncompressed, so the sample decode is pure byte arithmetic), GIF
 (``_gif_content``: a real variable-width LZW decoder over the index
-stream, palette-mapped to luma). Payloads in none of those containers fall
-back to a deterministic md5-derived stub when ``deterministic_fake`` is
-set, else raise ``NotImplementedError`` — the Spark plumbing (schema,
-batching, partitioning, UDF signatures) is identical on every path, so
-swapping in PIL/ffmpeg later changes only the per-row parse (the remaining
-stub surface is entropy/DCT-codec sample data — JPEG scan data, FLAC
-frames, MP4 media — which stdlib cannot decode; every header-level fact
-and every PNG/GIF pixel and WAV sample fact is already real).
+stream, palette-mapped to luma) and FLAC (``_flac_content``: real frame
+parsing — sync codes, UTF-8 frame numbers, CRC-8 verification — over
+VERBATIM subframes). Payloads in none of those containers fall back to a
+deterministic md5-derived stub when ``deterministic_fake`` is set, else
+raise ``NotImplementedError`` — the Spark plumbing (schema, batching,
+partitioning, UDF signatures) is identical on every path, so swapping in
+PIL/ffmpeg later changes only the per-row parse (the remaining stub
+surface is entropy/DCT-codec sample data — JPEG scan data, compressed
+FLAC subframes, MP4 media — which stdlib cannot decode; every
+header-level fact, every PNG/GIF pixel fact and every WAV/FLAC sample
+fact is already real).
 """
 
 from __future__ import annotations
@@ -493,6 +495,125 @@ def _wav_content(payload: bytes) -> tuple[float, int, float] | None:
     )
 
 
+def _crc8(data: bytes) -> int:
+    """CRC-8 (poly 0x07, init 0) — the FLAC frame-header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 (poly 0x8005, init 0) — the FLAC frame footer checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+# frame-header block-size codes 0b0001-0b0101 -> fixed sizes; 0b011x read
+# extra bytes; 0b1xxx -> 256 << (code - 8)
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+
+
+def _flac_content(payload: bytes) -> tuple[float, int, float] | None:
+    """(mean_amp, max_amp, nonzero_frac) from a FLAC VERBATIM-frame decode.
+
+    FLAC's frame layer is compressed, but its VERBATIM subframe type stores
+    raw samples — a real FLAC decoder subset: STREAMINFO gate (mono, 8 bps),
+    metadata-block walk, then per frame: sync code, block-size/sample-rate
+    codes, channel + sample-size bits, UTF-8-coded frame number, CRC-8
+    VERIFIED over the header bytes, verbatim subframe, CRC-16 skipped.
+    Samples are read as their raw unsigned 8-bit code values (the same
+    convention as 8-bit WAV). Anything outside this subset — other subframe
+    types, interchannel stereo, CRC mismatch, truncation — returns None;
+    header facts still come from ``_flac_duration_ms``.
+    """
+    if len(payload) < 8 + 34 or payload[:4] != b"fLaC":
+        return None
+    # metadata walk: first block must be STREAMINFO; honor the last-flag
+    off = 4
+    sample_rate = total = bps = channels = None
+    while off + 4 <= len(payload):
+        hdr = payload[off]
+        (blen,) = struct.unpack(">I", b"\x00" + payload[off + 1 : off + 4])
+        body = payload[off + 4 : off + 4 + blen]
+        if off == 4:
+            if hdr & 0x7F != 0 or blen < 34:
+                return None
+            (packed,) = struct.unpack(">Q", body[10:18])
+            sample_rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+        off += 4 + blen
+        if hdr & 0x80:
+            break
+    if not sample_rate or channels != 1 or bps != 8 or not total:
+        return None
+    got = 0
+    total_sum = nz = max_amp = 0
+    while got < total:
+        hstart = off
+        if off + 5 > len(payload) or payload[off] != 0xFF or payload[off + 1] & 0xFC != 0xF8:
+            return None
+        bs_code = payload[off + 2] >> 4
+        sr_code = payload[off + 2] & 0xF
+        ch_code = payload[off + 3] >> 4
+        ss_code = (payload[off + 3] >> 1) & 0x7
+        if ch_code != 0 or ss_code != 0b001 or sr_code != 0:
+            return None  # mono 8-bit, rate-from-STREAMINFO only
+        off += 4
+        # UTF-8-coded frame/sample number: leading byte sets the length
+        lead = payload[off]
+        n_cont = 0
+        while lead & (0x80 >> n_cont):
+            n_cont += 1
+        n_cont = max(0, n_cont - 1) if lead & 0x80 else 0
+        off += 1 + n_cont
+        if bs_code in _FLAC_BLOCKSIZES:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        elif bs_code == 0b0110:
+            blocksize = payload[off] + 1
+            off += 1
+        elif bs_code == 0b0111:
+            if off + 2 > len(payload):
+                return None
+            blocksize = struct.unpack(">H", payload[off : off + 2])[0] + 1
+            off += 2
+        elif bs_code >= 0b1000:
+            blocksize = 256 << (bs_code - 8)
+        else:
+            return None  # reserved code
+        if off >= len(payload) or _crc8(payload[hstart:off]) != payload[off]:
+            return None  # corrupted frame header
+        off += 1
+        if payload[off : off + 1] != b"\x02":  # subframe: 0 pad, VERBATIM, no waste
+            return None
+        off += 1
+        samples = payload[off : off + blocksize]
+        if len(samples) < blocksize:
+            return None
+        off += blocksize + 2  # skip frame CRC-16
+        total_sum += sum(samples)
+        nz += blocksize - samples.count(0)
+        m = max(samples)
+        if m > max_amp:
+            max_amp = m
+        got += blocksize
+    if got != total:
+        return None
+    return (
+        ((2 * total_sum * 10**6 + got) // (2 * got)) / 1e6,
+        max_amp,
+        ((2 * nz * 10**6 + got) // (2 * got)) / 1e6,
+    )
+
+
 def _wav_duration_ms(payload: bytes) -> int | None:
     """Duration of a RIFF/WAVE payload in ms; None if not a WAV.
 
@@ -707,8 +828,15 @@ def make_gif(width: int, height: int, pixels: bytes | None = None) -> bytes:
     )
 
 
-def make_flac(duration_ms: int, sample_rate: int = 8000) -> bytes:
-    """Build a minimal valid FLAC header (fLaC magic + STREAMINFO block)."""
+def make_flac(
+    duration_ms: int, sample_rate: int = 8000, samples: bytes | None = None
+) -> bytes:
+    """Build a valid mono 8-bit FLAC. Header-only (fLaC magic + STREAMINFO)
+    when ``samples`` is omitted — duration parses, content degrades to NULL.
+    With ``samples`` (len == sample_rate * duration_ms // 1000): real audio
+    frames, <=4096 samples each, VERBATIM subframes, 16-bit blocksize-1
+    header form, UTF-8-coded frame numbers, true CRC-8/CRC-16 checksums —
+    the fixture side of :func:`_flac_content`."""
     total_samples = sample_rate * duration_ms // 1000
     packed = (sample_rate << 44) | (0 << 41) | (7 << 36) | total_samples  # mono, 8bps
     streaminfo = (
@@ -717,7 +845,28 @@ def make_flac(duration_ms: int, sample_rate: int = 8000) -> bytes:
         + struct.pack(">Q", packed)
         + bytes(16)                          # md5 of unencoded audio (zeroed)
     )
-    return b"fLaC" + bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+    out = b"fLaC" + bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+    if samples is None:
+        return out
+    assert len(samples) == total_samples
+
+    def utf8_number(n: int) -> bytes:
+        assert n < 0x80  # <=127 frames is plenty for fixtures
+        return bytes([n])
+
+    frames = bytearray()
+    for fno, start in enumerate(range(0, total_samples, 4096)):
+        block = samples[start : start + 4096]
+        header = (
+            b"\xff\xf8"                       # sync + fixed blocking strategy
+            + bytes([(0b0111 << 4) | 0b0000])  # 16-bit blocksize-1; rate: STREAMINFO
+            + bytes([(0 << 4) | (0b001 << 1)])  # mono; 8 bits/sample
+            + utf8_number(fno)
+            + struct.pack(">H", len(block) - 1)
+        )
+        body = header + bytes([_crc8(header)]) + b"\x02" + block
+        frames += body + struct.pack(">H", _crc16(body))
+    return out + bytes(frames)
 
 
 def make_mp4(
@@ -826,7 +975,10 @@ def synth_payload(doc_id: int) -> bytes:
         # so the oracle's closed-form wrapped-sum covers audio content too
         return make_wav(d, samples=_cycle_bytes(doc_id, 8 * d))
     if fmt == "flac":
-        return make_flac(_grid_ms(doc_id, SYNTH_MS["flac"]))
+        d = _grid_ms(doc_id, SYNTH_MS["flac"])
+        # verbatim-frame samples on the same law as WAV — the oracle's
+        # closed-form branch only differs in the duration grid
+        return make_flac(d, samples=_cycle_bytes(doc_id, 8 * d))
     w, h = (_grid_dim(doc_id, s) for s in SYNTH_DIMS["mp4"])
     return make_mp4(w, h, _grid_ms(doc_id, SYNTH_MS["mp4"]))
 
@@ -915,7 +1067,10 @@ def decode_media(media: DataFrame, deterministic_fake: bool = True) -> DataFrame
             # GIF pixels (real LZW decode + palette mapping); the remaining
             # entropy/DCT codecs keep NULLs — degrade, never fake
             content = [
-                _png_content(p) or _wav_content(p) or _gif_content(p)
+                _png_content(p)
+                or _wav_content(p)
+                or _gif_content(p)
+                or _flac_content(p)
                 for p in payloads
             ]
             yield pd.DataFrame(

@@ -636,7 +636,9 @@ def multimodal_features_sql() -> str:
     return f"""WITH m AS (
   SELECT doc_id, doc_id % 6 AS k, doc_id % 256 AS s,
          {pw} AS pw, {ph} AS ph, {gh} AS gh,
-         8 * ({ms(SYNTH_MS["wav"])}) AS wn
+         CASE doc_id % 6 WHEN 3 THEN 8 * ({ms(SYNTH_MS["wav"])})
+                         WHEN 4 THEN 8 * ({ms(SYNTH_MS["flac"])})
+                         ELSE 0 END AS wn
   FROM documents
 ), p AS (
   SELECT *,
@@ -668,18 +670,18 @@ SELECT
   CASE WHEN k = 0 THEN round(
       (ph * s + (ph * (ph - 1)) // 2 - 256 * wrap) / CAST(ph AS DOUBLE), 6)
        WHEN k = 2 THEN ((2 * gsum * 1000000 + gh) // (2 * gh)) / 1000000.0
-       WHEN k = 3 THEN ((2 * wsum * 1000000 + wn) // (2 * wn)) / 1000000.0
+       WHEN k IN (3, 4) THEN ((2 * wsum * 1000000 + wn) // (2 * wn)) / 1000000.0
   END AS mean_luma,
   CASE WHEN k = 0 THEN
       CASE WHEN wrap > 0 THEN 255 ELSE s + ph - 1 END
        WHEN k = 2 THEN
       CASE WHEN gwrap > 0 THEN 255 ELSE s + gh - 1 END
-       WHEN k = 3 THEN
+       WHEN k IN (3, 4) THEN
       CASE WHEN cyc > 0 OR wrap2 > 0 THEN 255 ELSE s + rem - 1 END
   END AS max_luma,
   CASE WHEN k = 0 THEN round(
       (ph - CASE WHEN s = 0 OR wrap > 0 THEN 1 ELSE 0 END) / CAST(ph AS DOUBLE), 6)
        WHEN k = 2 THEN ((2 * (gh - gzero) * 1000000 + gh) // (2 * gh)) / 1000000.0
-       WHEN k = 3 THEN ((2 * (wn - wzero) * 1000000 + wn) // (2 * wn)) / 1000000.0
+       WHEN k IN (3, 4) THEN ((2 * (wn - wzero) * 1000000 + wn) // (2 * wn)) / 1000000.0
   END AS nonzero_frac
 FROM w"""

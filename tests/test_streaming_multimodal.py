@@ -446,3 +446,53 @@ def test_gif_pixel_decode():
     interlaced[13 + 768 + 9] |= 0x40
     assert _gif_content(bytes(interlaced)) is None
     assert _gif_content(b"GIF89a" + bytes(20)) is None
+
+
+def test_flac_verbatim_decode():
+    """_flac_content parses real FLAC frames (sync, header codes, UTF-8
+    frame number, VERIFIED CRC-8) and reads the verbatim sample stream;
+    stats match a brute-force fold. Header-only payloads, CRC corruption,
+    truncation and non-verbatim subframes all degrade to None."""
+    from addressparser_spark.operators.multimodal import (
+        _cycle_bytes,
+        _flac_content,
+        _flac_duration_ms,
+        make_flac,
+        synth_payload,
+    )
+
+    def ground_truth(samples: bytes):
+        n = len(samples)
+        total, nz = sum(samples), sum(1 for b in samples if b)
+        return (
+            ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
+            max(samples),
+            ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
+        )
+
+    for start, d in ((0, 500), (130, 1000), (255, 4108)):  # multi-frame: up to 9 frames
+        samples = _cycle_bytes(start, 8 * d)
+        flac = make_flac(d, samples=samples)
+        assert _flac_duration_ms(flac) == d
+        assert _flac_content(flac) == ground_truth(samples)
+
+    # synth law end-to-end for a flac doc_id (4 mod 6)
+    payload = synth_payload(4)
+    d = 500 + (4 % 89) * 41
+    assert _flac_content(payload) == ground_truth(_cycle_bytes(4, 8 * d))
+
+    assert _flac_content(make_flac(700)) is None  # header-only: no frames
+    good = make_flac(600, samples=_cycle_bytes(7, 4800))
+    for i in range(0, len(good), 331):
+        _flac_content(good[:i])  # truncation sweep: never raises
+    # corrupt the first frame's CRC-8 byte: decoder must reject, not misread
+    streaminfo_end = 8 + 34
+    bad = bytearray(good)
+    # frame starts right after STREAMINFO; header = 2 sync + 1 + 1 + 1 utf8 + 2 bs
+    hdr_len = 2 + 1 + 1 + 1 + 2
+    bad[streaminfo_end + hdr_len] ^= 0xFF
+    assert _flac_content(bytes(bad)) is None
+    # non-verbatim subframe type byte: reject
+    bad2 = bytearray(good)
+    bad2[streaminfo_end + hdr_len + 1] = 0x00  # CONSTANT subframe instead
+    assert _flac_content(bytes(bad2)) is None
