@@ -11,23 +11,25 @@ chunk walk), JPEG (segment walk to the SOF frame header), GIF (logical
 screen descriptor), WAV (RIFF chunk walk, duration from data size / fmt
 byte rate), FLAC (STREAMINFO sample_rate/total_samples bit-unpack), and
 MP4/ISO-BMFF (box-tree walk: ``mvhd`` timescale+duration for duration_ms,
-``tkhd`` 16.16 fixed-point width/height). Four containers additionally get
+``tkhd`` 16.16 fixed-point width/height). Five containers additionally get
 a FULL content decode: PNG (``_png_content``: zlib inflate + scanline
 unfilter for all five PNG filters — mean/max luma, nonzero-pixel fraction),
 WAV (``_wav_content``: the 8-bit mono PCM data chunk read directly —
 uncompressed, so the sample decode is pure byte arithmetic), GIF
 (``_gif_content``: a real variable-width LZW decoder over the index
-stream, palette-mapped to luma) and FLAC (``_flac_content``: real frame
+stream, palette-mapped to luma), FLAC (``_flac_content``: real frame
 parsing — sync codes, UTF-8 frame numbers, CRC-8 verification — over
-VERBATIM subframes). Payloads in none of those containers fall back to a
-deterministic md5-derived stub when ``deterministic_fake`` is set, else
-raise ``NotImplementedError`` — the Spark plumbing (schema, batching,
+VERBATIM subframes) and MP4 (``_mp4_content``: sample-table walk to
+raw-PCM audio tracks — ``hdlr``/``stsd``/``stsz``/``stco`` → samples read
+straight out of ``mdat``). Payloads in none of those containers fall back
+to a deterministic md5-derived stub when ``deterministic_fake`` is set,
+else raise ``NotImplementedError`` — the Spark plumbing (schema, batching,
 partitioning, UDF signatures) is identical on every path, so swapping in
 PIL/ffmpeg later changes only the per-row parse (the remaining stub
 surface is entropy/DCT-codec sample data — JPEG scan data, compressed
-FLAC subframes, MP4 media — which stdlib cannot decode; every
-header-level fact, every PNG/GIF pixel fact and every WAV/FLAC sample
-fact is already real).
+FLAC subframes, compressed MP4 media — which stdlib cannot decode; every
+header-level fact, every PNG/GIF pixel fact and every WAV/FLAC/raw-MP4
+sample fact is already real).
 """
 
 from __future__ import annotations
@@ -712,6 +714,81 @@ def _mp4_meta(payload: bytes) -> tuple[int, int, int] | None:
     return width or 0, height or 0, duration_ms
 
 
+def _mp4_content(payload: bytes) -> tuple[float, int, float] | None:
+    """(mean_amp, max_amp, nonzero_frac) from an MP4 raw-PCM audio track.
+
+    MP4 media is normally codec data, but ISO-BMFF can carry UNCOMPRESSED
+    8-bit PCM (QuickTime ``raw ``/``sowt``/``twos`` sample entries) — for
+    those the sample table IS the decode map: walk
+    ``moov/trak/mdia`` to find the ``soun`` handler, read the ``stbl``'s
+    ``stsd`` (format + channels + sample size), ``stsz`` (uniform 1-byte
+    samples) and ``stco`` (single chunk offset), then read the samples
+    straight out of ``mdat``. Anything else — compressed formats, stereo,
+    wider samples, multi-chunk layouts, offsets out of range — returns
+    None; header facts still come from ``_mp4_meta``. Same unsigned-8-bit
+    convention and integer half-up rounding as ``_wav_content``.
+    """
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    fmt = channels = samplesize = None
+    uniform = count = offset = None
+    for btype, body, bend in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in _mp4_boxes(payload, body, bend):
+            if ctype != b"trak":
+                continue
+            for mtype, mbody, mend in _mp4_boxes(payload, cbody, cend):
+                if mtype != b"mdia":
+                    continue
+                handler = None
+                stbl = None
+                for dtype, dbody, dend in _mp4_boxes(payload, mbody, mend):
+                    if dtype == b"hdlr" and dend - dbody >= 12:
+                        handler = payload[dbody + 8 : dbody + 12]
+                    elif dtype == b"minf":
+                        for stype, sbody, send in _mp4_boxes(payload, dbody, dend):
+                            if stype == b"stbl":
+                                stbl = (sbody, send)
+                if handler != b"soun" or stbl is None:
+                    continue
+                for stype, sbody, send in _mp4_boxes(payload, *stbl):
+                    if stype == b"stsd" and send - sbody >= 8:
+                        for etype, ebody, eend in _mp4_boxes(payload, sbody + 8, send):
+                            fmt = etype
+                            if eend - ebody >= 20:
+                                channels, samplesize = struct.unpack(
+                                    ">HH", payload[ebody + 16 : ebody + 20]
+                                )
+                            break
+                    elif stype == b"stsz" and send - sbody >= 12:
+                        uniform, count = struct.unpack(
+                            ">II", payload[sbody + 4 : sbody + 12]
+                        )
+                    elif stype == b"stco" and send - sbody >= 12:
+                        n_chunks, first = struct.unpack(
+                            ">II", payload[sbody + 4 : sbody + 12]
+                        )
+                        if n_chunks != 1:
+                            return None  # multi-chunk: out of the raw subset
+                        offset = first
+    if fmt not in (b"raw ", b"sowt", b"twos"):
+        return None
+    if channels != 1 or samplesize != 8 or uniform != 1 or not count:
+        return None
+    if offset is None or offset + count > len(payload):
+        return None
+    samples = payload[offset : offset + count]
+    n = len(samples)
+    total = sum(samples)
+    nz = n - samples.count(0)
+    return (
+        ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
+        max(samples),
+        ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
+    )
+
+
 def make_png(
     width: int,
     height: int,
@@ -979,8 +1056,13 @@ def synth_payload(doc_id: int) -> bytes:
         # verbatim-frame samples on the same law as WAV — the oracle's
         # closed-form branch only differs in the duration grid
         return make_flac(d, samples=_cycle_bytes(doc_id, 8 * d))
+    d = _grid_ms(doc_id, SYNTH_MS["mp4"])
+    if (doc_id // 6) % 2:
+        # odd mp4 rows carry a raw-PCM audio track (same sample law) so the
+        # sample-table decode path is driver-graded; even rows stay video
+        return make_mp4_audio(d, samples=_cycle_bytes(doc_id, 8 * d))
     w, h = (_grid_dim(doc_id, s) for s in SYNTH_DIMS["mp4"])
-    return make_mp4(w, h, _grid_ms(doc_id, SYNTH_MS["mp4"]))
+    return make_mp4(w, h, d)
 
 
 def synth_media(docs: DataFrame) -> DataFrame:
@@ -1005,6 +1087,74 @@ def synth_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         gen, schema="media_id bigint, kind string, payload binary"
     )
+
+
+def make_mp4_audio(
+    duration_ms: int, sample_rate: int = 8000, samples: bytes | None = None
+) -> bytes:
+    """Build a structurally-valid MP4 carrying an UNCOMPRESSED 8-bit mono
+    PCM audio track (QuickTime ``raw `` sample entry): ftyp + moov(mvhd +
+    trak(tkhd + mdia(mdhd + hdlr'soun' + minf(smhd + stbl(stsd + stts +
+    stsc + stsz + stco))))) + mdat. The stco chunk offset is patched in a
+    second pass once the header length is known — the fixture side of
+    :func:`_mp4_content`."""
+    n_samples = sample_rate * duration_ms // 1000
+    if samples is None:
+        samples = bytes(n_samples)
+    assert len(samples) == n_samples
+
+    def box(btype: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data) + 8) + btype + data
+
+    def build(mdat_off: int) -> bytes:
+        matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        dur = duration_ms  # timescale 1000 -> ticks == ms
+        mvhd = box(
+            b"mvhd",
+            bytes(4) + struct.pack(">II", 0, 0)
+            + struct.pack(">II", 1000, dur)
+            + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + bytes(10) + matrix + bytes(24) + struct.pack(">I", 2),
+        )
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07" + struct.pack(">IIII", 0, 0, 1, 0)
+            + struct.pack(">I", dur) + bytes(8)
+            + struct.pack(">HHHH", 0, 0, 0x0100, 0)  # audio: volume set, no dims
+            + matrix + struct.pack(">II", 0, 0),
+        )
+        mdhd = box(
+            b"mdhd",
+            bytes(4) + struct.pack(">II", 0, 0)
+            + struct.pack(">II", sample_rate, n_samples)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = box(b"hdlr", bytes(4) + bytes(4) + b"soun" + bytes(12) + b"\x00")
+        smhd = box(b"smhd", bytes(4) + struct.pack(">HH", 0, 0))
+        entry = box(
+            b"raw ",
+            bytes(6) + struct.pack(">H", 1)            # reserved + data ref index
+            + struct.pack(">HHI", 0, 0, 0)             # version/revision/vendor
+            + struct.pack(">HH", 1, 8)                 # channels, sample size
+            + struct.pack(">HH", 0, 0)                 # compression id, packet size
+            + struct.pack(">I", sample_rate << 16),    # rate, 16.16
+        )
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        stts = box(b"stts", bytes(4) + struct.pack(">III", 1, n_samples, 1))
+        stsc = box(b"stsc", bytes(4) + struct.pack(">IIII", 1, 1, n_samples, 1))
+        stsz = box(b"stsz", bytes(4) + struct.pack(">II", 1, n_samples))
+        stco = box(b"stco", bytes(4) + struct.pack(">II", 1, mdat_off))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", smhd + stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+        return ftyp + moov + box(b"mdat", samples)
+
+    # two-pass: header length is offset-independent (stco is fixed-width)
+    probe = build(0)
+    mdat_payload_off = len(probe) - n_samples
+    return build(mdat_payload_off)
 
 
 def _fake_features(kind: str, payload: bytes) -> tuple[int, int, int]:
@@ -1071,6 +1221,7 @@ def decode_media(media: DataFrame, deterministic_fake: bool = True) -> DataFrame
                 or _wav_content(p)
                 or _gif_content(p)
                 or _flac_content(p)
+                or _mp4_content(p)
                 for p in payloads
             ]
             yield pd.DataFrame(

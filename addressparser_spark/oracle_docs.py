@@ -638,6 +638,9 @@ def multimodal_features_sql() -> str:
          {pw} AS pw, {ph} AS ph, {gh} AS gh,
          CASE doc_id % 6 WHEN 3 THEN 8 * ({ms(SYNTH_MS["wav"])})
                          WHEN 4 THEN 8 * ({ms(SYNTH_MS["flac"])})
+                         WHEN 5 THEN CASE WHEN (doc_id // 6) % 2 = 1
+                                          THEN 8 * ({ms(SYNTH_MS["mp4"])})
+                                          ELSE 0 END
                          ELSE 0 END AS wn
   FROM documents
 ), p AS (
@@ -661,27 +664,31 @@ SELECT
   CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
          WHEN 3 THEN 'wav' WHEN 4 THEN 'flac' ELSE 'mp4' END AS kind,
   CAST(CASE k WHEN 0 THEN pw WHEN 1 THEN {jw} WHEN 2 THEN {gw}
-              WHEN 5 THEN {mw} ELSE 0 END AS INT) AS width,
+              WHEN 5 THEN CASE WHEN (doc_id // 6) % 2 = 1 THEN 0 ELSE {mw} END
+              ELSE 0 END AS INT) AS width,
   CAST(CASE k WHEN 0 THEN ph WHEN 1 THEN {jh} WHEN 2 THEN {gh}
-              WHEN 5 THEN {mh} ELSE 0 END AS INT) AS height,
+              WHEN 5 THEN CASE WHEN (doc_id // 6) % 2 = 1 THEN 0 ELSE {mh} END
+              ELSE 0 END AS INT) AS height,
   CAST(CASE k WHEN 3 THEN {ms(SYNTH_MS["wav"])}
               WHEN 4 THEN {ms(SYNTH_MS["flac"])}
               WHEN 5 THEN {ms(SYNTH_MS["mp4"])} ELSE 0 END AS INT) AS duration_ms,
   CASE WHEN k = 0 THEN round(
       (ph * s + (ph * (ph - 1)) // 2 - 256 * wrap) / CAST(ph AS DOUBLE), 6)
        WHEN k = 2 THEN ((2 * gsum * 1000000 + gh) // (2 * gh)) / 1000000.0
-       WHEN k IN (3, 4) THEN ((2 * wsum * 1000000 + wn) // (2 * wn)) / 1000000.0
+       WHEN k IN (3, 4, 5) AND wn > 0
+       THEN ((2 * wsum * 1000000 + wn) // (2 * wn)) / 1000000.0
   END AS mean_luma,
   CASE WHEN k = 0 THEN
       CASE WHEN wrap > 0 THEN 255 ELSE s + ph - 1 END
        WHEN k = 2 THEN
       CASE WHEN gwrap > 0 THEN 255 ELSE s + gh - 1 END
-       WHEN k IN (3, 4) THEN
+       WHEN k IN (3, 4, 5) AND wn > 0 THEN
       CASE WHEN cyc > 0 OR wrap2 > 0 THEN 255 ELSE s + rem - 1 END
   END AS max_luma,
   CASE WHEN k = 0 THEN round(
       (ph - CASE WHEN s = 0 OR wrap > 0 THEN 1 ELSE 0 END) / CAST(ph AS DOUBLE), 6)
        WHEN k = 2 THEN ((2 * (gh - gzero) * 1000000 + gh) // (2 * gh)) / 1000000.0
-       WHEN k IN (3, 4) THEN ((2 * (wn - wzero) * 1000000 + wn) // (2 * wn)) / 1000000.0
+       WHEN k IN (3, 4, 5) AND wn > 0
+       THEN ((2 * (wn - wzero) * 1000000 + wn) // (2 * wn)) / 1000000.0
   END AS nonzero_frac
 FROM w"""

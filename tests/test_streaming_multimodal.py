@@ -496,3 +496,49 @@ def test_flac_verbatim_decode():
     bad2 = bytearray(good)
     bad2[streaminfo_end + hdr_len + 1] = 0x00  # CONSTANT subframe instead
     assert _flac_content(bytes(bad2)) is None
+
+
+def test_mp4_raw_pcm_decode():
+    """_mp4_content walks the real sample tables (hdlr 'soun' -> stsd raw
+    entry -> stsz/stco) and reads uncompressed PCM out of mdat; video-only
+    MP4s, compressed entries and broken layouts degrade to None."""
+    from addressparser_spark.operators.multimodal import (
+        _cycle_bytes,
+        _mp4_content,
+        _mp4_meta,
+        make_mp4,
+        make_mp4_audio,
+        synth_payload,
+    )
+
+    def ground_truth(samples: bytes):
+        n = len(samples)
+        total, nz = sum(samples), sum(1 for b in samples if b)
+        return (
+            ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
+            max(samples),
+            ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
+        )
+
+    for start, d in ((0, 500), (77, 1337)):
+        samples = _cycle_bytes(start, 8 * d)
+        clip = make_mp4_audio(d, samples=samples)
+        assert _mp4_meta(clip) == (0, 0, d)  # header facts: audio track, no dims
+        assert _mp4_content(clip) == ground_truth(samples)
+
+    # synth law end-to-end: doc_id 11 -> mp4 (11%6==5), audio ((11//6)%2==1)
+    d11 = 1000 + (11 % 113) * 29
+    assert _mp4_content(synth_payload(11)) == ground_truth(_cycle_bytes(11, 8 * d11))
+    # doc_id 5 -> mp4 video ((5//6)%2==0): header dims, NULL content
+    assert _mp4_content(synth_payload(5)) is None
+    assert _mp4_meta(synth_payload(5))[2] == 1000 + 5 * 29
+
+    good = make_mp4_audio(600, samples=_cycle_bytes(3, 4800))
+    for i in range(0, len(good), 173):
+        _mp4_content(good[:i])  # truncation sweep: never raises
+    assert _mp4_content(make_mp4(640, 480, 2000)) is None  # video-only
+    # compressed-format sample entry: reject
+    bad = bytearray(good)
+    idx = bad.find(b"raw ")
+    bad[idx : idx + 4] = b"mp4a"
+    assert _mp4_content(bytes(bad)) is None
