@@ -11,12 +11,15 @@ chunk walk), JPEG (segment walk to the SOF frame header), GIF (logical
 screen descriptor), WAV (RIFF chunk walk, duration from data size / fmt
 byte rate), FLAC (STREAMINFO sample_rate/total_samples bit-unpack), and
 MP4/ISO-BMFF (box-tree walk: ``mvhd`` timescale+duration for duration_ms,
-``tkhd`` 16.16 fixed-point width/height). Five containers additionally get
-a FULL content decode: PNG (``_png_content``: zlib inflate + scanline
+``tkhd`` 16.16 fixed-point width/height). ALL SIX containers additionally
+get a content decode: PNG (``_png_content``: zlib inflate + scanline
 unfilter for all five PNG filters — mean/max luma, nonzero-pixel fraction),
-WAV (``_wav_content``: the 8-bit mono PCM data chunk read directly —
-uncompressed, so the sample decode is pure byte arithmetic), GIF
-(``_gif_content``: a real variable-width LZW decoder over the index
+JPEG (``_jpeg_content``: the real entropy layer — DQT/DHT parsed into
+dequant + canonical Huffman tables, MSB-first bit decode with byte
+unstuffing, DC prediction and sign extension — for the DC-only baseline
+subset, which round-trips losslessly), WAV (``_wav_content``: the 8-bit
+mono PCM data chunk read directly — uncompressed, pure byte arithmetic),
+GIF (``_gif_content``: a real variable-width LZW decoder over the index
 stream, palette-mapped to luma), FLAC (``_flac_content``: real frame
 parsing — sync codes, UTF-8 frame numbers, CRC-8 verification — over
 VERBATIM subframes) and MP4 (``_mp4_content``: sample-table walk to
@@ -26,10 +29,10 @@ to a deterministic md5-derived stub when ``deterministic_fake`` is set,
 else raise ``NotImplementedError`` — the Spark plumbing (schema, batching,
 partitioning, UDF signatures) is identical on every path, so swapping in
 PIL/ffmpeg later changes only the per-row parse (the remaining stub
-surface is entropy/DCT-codec sample data — JPEG scan data, compressed
-FLAC subframes, compressed MP4 media — which stdlib cannot decode; every
-header-level fact, every PNG/GIF pixel fact and every WAV/FLAC/raw-MP4
-sample fact is already real).
+surface is full-DCT/entropy sample data — JPEG blocks with AC energy,
+compressed FLAC subframes, compressed MP4 media — where stdlib has no
+codec; every header fact, and every pixel/sample fact inside each
+container's decodable subset, is real).
 """
 
 from __future__ import annotations
@@ -413,6 +416,177 @@ def _gif_content(payload: bytes) -> tuple[float, int, float] | None:
         else:  # trailer (0x3B) or junk before any image data
             return None
     return None
+
+
+def _build_huffman(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: (code_length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing."""
+
+    def __init__(self, buf: bytes, off: int):
+        self.buf = buf
+        self.off = off
+        self.cur = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int | None:
+        while self.nbits < n:
+            if self.off >= len(self.buf):
+                return None
+            b = self.buf[self.off]
+            self.off += 1
+            if b == 0xFF:
+                nxt = self.buf[self.off] if self.off < len(self.buf) else None
+                if nxt == 0x00:
+                    self.off += 1  # stuffed byte
+                else:
+                    return None  # marker (EOI/RST/...) inside the scan
+            self.cur = (self.cur << 8) | b
+            self.nbits += 8
+        self.nbits -= n
+        out = (self.cur >> self.nbits) & ((1 << n) - 1)
+        self.cur &= (1 << self.nbits) - 1
+        return out
+
+    def huffman(self, table: dict[tuple[int, int], int]) -> int | None:
+        code = 0
+        for length in range(1, 17):
+            bit = self.read(1)
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            if (length, code) in table:
+                return table[(length, code)]
+        return None
+
+
+def _jpeg_content(payload: bytes) -> tuple[float, int, float] | None:
+    """(mean_luma, max_luma, nonzero_frac) from a DC-only baseline JPEG.
+
+    The entropy layer decoded for real: DQT/DHT segments are parsed into
+    dequant + canonical Huffman tables, the SOS scan is bit-decoded
+    (MSB-first, 0xFF00 unstuffed) with proper DC prediction and
+    sign-extension, and each 8x8 block is reconstructed from its DC
+    coefficient (``pixel = DC * q0 / 8 + 128``, exact for DC-only data).
+    The supported subset is single-component baseline with every block's
+    AC run empty (EOB immediately after the DC code) — blocks with AC
+    energy, progressive scans, restart markers or multi-component frames
+    return None; header dims still come from ``_jpeg_dims``. Edge blocks
+    are cropped to the true width/height. Integer half-up rounding at 6
+    decimals, as in the other content decoders.
+    """
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    off = 2
+    quant: dict[int, bytes] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    dims = None
+    scan = None
+    while off + 4 <= len(payload):
+        if payload[off] != 0xFF:
+            return None
+        marker = payload[off + 1]
+        if marker == 0xFF:
+            off += 1
+            continue
+        off += 2
+        if marker in _STANDALONE:
+            continue
+        if marker == 0xD9:
+            break
+        if off + 2 > len(payload):
+            return None
+        (size,) = struct.unpack(">H", payload[off : off + 2])
+        seg = payload[off + 2 : off + size]
+        if marker == 0xDB:  # DQT: chain of (PqTq + 64 entries)
+            p = 0
+            while p < len(seg):
+                if seg[p] >> 4 != 0:
+                    return None  # 16-bit tables out of scope
+                quant[seg[p] & 0xF] = seg[p + 1 : p + 65]
+                p += 65
+        elif marker == 0xC4:  # DHT: chain of (TcTh + 16 counts + symbols)
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = seg[p + 1 : p + 17]
+                n = sum(counts)
+                huff[(tc, th)] = _build_huffman(counts, seg[p + 17 : p + 17 + n])
+                p += 17 + n
+        elif marker == 0xC0:  # baseline SOF0 only
+            if len(seg) < 9 or seg[0] != 8 or seg[5] != 1:
+                return None  # 8-bit single-component only
+            h, w = struct.unpack(">HH", seg[1:5])
+            dims = (w, h, seg[8] & 0xF)  # + the component's quant table id
+        elif marker in _SOF_MARKERS:
+            return None  # progressive/extended: out of the DC-only subset
+        elif marker == 0xDD:
+            return None  # restart intervals unsupported
+        elif marker == 0xDA:  # SOS: entropy data follows the header
+            if len(seg) < 4 or seg[0] != 1:
+                return None
+            td, ta = seg[2] >> 4, seg[2] & 0xF
+            scan = (td, ta, off + size)
+            break
+        off += size
+    if dims is None or scan is None:
+        return None
+    w, h, tq = dims
+    if not w or not h or tq not in quant:
+        return None
+    td, ta, data_off = scan
+    dc_table, ac_table = huff.get((0, td)), huff.get((1, ta))
+    if dc_table is None or ac_table is None:
+        return None
+    q0 = quant[tq][0]
+    bits = _JpegBits(payload, data_off)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    pred = 0
+    total = nz = max_luma = 0
+    for by in range(bh):
+        vis_h = min(8, h - by * 8)
+        for bx in range(bw):
+            t = bits.huffman(dc_table)
+            if t is None or t > 11:
+                return None
+            if t:
+                v = bits.read(t)
+                if v is None:
+                    return None
+                diff = v if v >= (1 << (t - 1)) else v - ((1 << t) - 1)
+            else:
+                diff = 0
+            pred += diff
+            if bits.huffman(ac_table) != 0x00:  # must be EOB: DC-only subset
+                return None
+            dc = pred * q0
+            # IDCT of a DC-only block is flat: pixel = DC/8 + 128
+            val = (2 * dc + 8) // 16 + 128 if dc >= 0 else -((2 * -dc + 8) // 16) + 128
+            val = min(255, max(0, val))
+            vis_w = min(8, w - bx * 8)
+            n_vis = vis_w * vis_h
+            total += val * n_vis
+            nz += n_vis if val else 0
+            if val > max_luma:
+                max_luma = val
+    n = w * h
+    return (
+        ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
+        max_luma,
+        ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
+    )
 
 
 def _gif_dims(payload: bytes) -> tuple[int, int] | None:
@@ -842,16 +1016,78 @@ def make_png(
     )
 
 
-def make_jpeg(width: int, height: int) -> bytes:
-    """Build a minimal structurally-valid JPEG header stream (test fixture):
-    SOI + JFIF APP0 + baseline SOF0 (one grayscale component) + EOI."""
+_JPEG_DC_COUNTS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_JPEG_DC_SYMBOLS = bytes(range(12))  # the standard luminance DC table
+
+
+def make_jpeg(width: int, height: int, pixels: bytes | None = None) -> bytes:
+    """Build a valid baseline JPEG. Header-only when ``pixels`` is omitted
+    (SOI + APP0 + SOF0 + EOI — dims parse, content degrades to NULL).
+    With ``pixels`` (row-major luma, CONSTANT within every visible 8x8
+    block — DC-only blocks are exactly representable, so the lossy codec
+    round-trips losslessly): full DQT (all-ones) + DHT (standard DC table,
+    minimal one-code AC table for EOB) + a real Huffman-coded SOS scan
+    with DC prediction, sign-coded diffs and 0xFF byte stuffing."""
 
     def seg(marker: int, data: bytes) -> bytes:
         return b"\xff" + bytes([marker]) + struct.pack(">H", len(data) + 2) + data
 
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
-    return b"\xff\xd8" + seg(0xE0, app0) + seg(0xC0, sof0) + b"\xff\xd9"
+    if pixels is None:
+        return b"\xff\xd8" + seg(0xE0, app0) + seg(0xC0, sof0) + b"\xff\xd9"
+    assert len(pixels) == width * height
+
+    enc = {
+        sym: (ln, code)
+        for (ln, code), sym in _build_huffman(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS).items()
+    }
+    buf = bytearray()
+    cur = nbits = 0
+
+    def put(val: int, nb: int) -> None:
+        nonlocal cur, nbits
+        cur = (cur << nb) | val
+        nbits += nb
+        while nbits >= 8:
+            nbits -= 8
+            b = (cur >> nbits) & 0xFF
+            buf.append(b)
+            if b == 0xFF:
+                buf.append(0x00)  # byte stuffing
+            cur &= (1 << nbits) - 1
+
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    pred = 0
+    for by in range(bh):
+        vis_h = min(8, height - by * 8)
+        for bx in range(bw):
+            vis_w = min(8, width - bx * 8)
+            v = pixels[(by * 8) * width + bx * 8]
+            for r in range(vis_h):  # the DC-only contract: flat blocks
+                row0 = (by * 8 + r) * width + bx * 8
+                assert pixels[row0 : row0 + vis_w] == bytes([v]) * vis_w
+            dc = 8 * (v - 128)
+            diff = dc - pred
+            pred = dc
+            t = abs(diff).bit_length()
+            ln, code = enc[t]
+            put(code, ln)
+            if t:
+                put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            put(0, 1)  # EOB: the minimal AC table's single 1-bit code
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+
+    dqt = seg(0xDB, b"\x00" + bytes([1]) * 64)
+    dht = seg(0xC4, b"\x00" + _JPEG_DC_COUNTS + _JPEG_DC_SYMBOLS) + seg(
+        0xC4, b"\x10" + bytes([1] + [0] * 15) + b"\x00"
+    )
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + seg(0xE0, app0) + dqt + seg(0xC0, sof0) + dht + sos
+        + bytes(buf) + b"\xff\xd9"
+    )
 
 
 def make_wav(
@@ -1039,7 +1275,13 @@ def synth_payload(doc_id: int) -> bytes:
         )
         return make_png(w, h, pixels, filter_type=doc_id % SYNTH_PNG_FILTERS)
     if fmt == "jpeg":
-        return make_jpeg(*(_grid_dim(doc_id, s) for s in SYNTH_DIMS["jpeg"]))
+        jw, jh = (_grid_dim(doc_id, s) for s in SYNTH_DIMS["jpeg"])
+        # constant per 8-row block band: (doc_id + band) % 256 — DC-only
+        # blocks, so the lossy codec round-trips these exactly
+        pixels = b"".join(
+            bytes([(doc_id + r // 8) % 256]) * jw for r in range(jh)
+        )
+        return make_jpeg(jw, jh, pixels)
     if fmt == "gif":
         gw, gh = (_grid_dim(doc_id, s) for s in SYNTH_DIMS["gif"])
         # same per-row (doc_id + row) % 256 luma law as PNG, through the
@@ -1218,6 +1460,7 @@ def decode_media(media: DataFrame, deterministic_fake: bool = True) -> DataFrame
             # entropy/DCT codecs keep NULLs — degrade, never fake
             content = [
                 _png_content(p)
+                or _jpeg_content(p)
                 or _wav_content(p)
                 or _gif_content(p)
                 or _flac_content(p)

@@ -635,7 +635,7 @@ def multimodal_features_sql() -> str:
     mw, mh = (dim(s) for s in SYNTH_DIMS["mp4"])
     return f"""WITH m AS (
   SELECT doc_id, doc_id % 6 AS k, doc_id % 256 AS s,
-         {pw} AS pw, {ph} AS ph, {gh} AS gh,
+         {pw} AS pw, {ph} AS ph, {gh} AS gh, {jh} AS jh,
          CASE doc_id % 6 WHEN 3 THEN 8 * ({ms(SYNTH_MS["wav"])})
                          WHEN 4 THEN 8 * ({ms(SYNTH_MS["flac"])})
                          WHEN 5 THEN CASE WHEN (doc_id // 6) % 2 = 1
@@ -647,6 +647,8 @@ def multimodal_features_sql() -> str:
   SELECT *,
          GREATEST(0, s + ph - 256) AS wrap,
          GREATEST(0, s + gh - 256) AS gwrap,
+         (jh + 7) // 8 AS jbh,
+         jh - 8 * ((jh + 7) // 8 - 1) AS jlv,
          wn // 256 AS cyc, wn % 256 AS rem,
          GREATEST(0, s + wn % 256 - 256) AS wrap2,
          (256 - s) % 256 AS i0
@@ -656,7 +658,15 @@ def multimodal_features_sql() -> str:
          cyc * 32640 + rem * s + (rem * (rem - 1)) // 2 - 256 * wrap2 AS wsum,
          CASE WHEN i0 >= wn THEN 0 ELSE 1 + (wn - 1 - i0) // 256 END AS wzero,
          gh * s + (gh * (gh - 1)) // 2 - 256 * gwrap AS gsum,
-         CASE WHEN s = 0 OR GREATEST(0, s + gh - 256) > 0 THEN 1 ELSE 0 END AS gzero
+         CASE WHEN s = 0 OR GREATEST(0, s + gh - 256) > 0 THEN 1 ELSE 0 END AS gzero,
+         8 * ((jbh - 1) * s + ((jbh - 1) * (jbh - 2)) // 2
+              - 256 * GREATEST(0, s + jbh - 1 - 256))
+           + jlv * ((s + jbh - 1) % 256) AS jtotal,
+         GREATEST(0, s + jbh - 256) AS jwrapall,
+         CASE WHEN s = 0 THEN CASE WHEN jbh = 1 THEN jlv ELSE 8 END
+              WHEN GREATEST(0, s + jbh - 256) > 0 THEN
+                   CASE WHEN 256 - s = jbh - 1 THEN jlv ELSE 8 END
+              ELSE 0 END AS jzvis
   FROM p
 )
 SELECT
@@ -674,12 +684,15 @@ SELECT
               WHEN 5 THEN {ms(SYNTH_MS["mp4"])} ELSE 0 END AS INT) AS duration_ms,
   CASE WHEN k = 0 THEN round(
       (ph * s + (ph * (ph - 1)) // 2 - 256 * wrap) / CAST(ph AS DOUBLE), 6)
+       WHEN k = 1 THEN ((2 * jtotal * 1000000 + jh) // (2 * jh)) / 1000000.0
        WHEN k = 2 THEN ((2 * gsum * 1000000 + gh) // (2 * gh)) / 1000000.0
        WHEN k IN (3, 4, 5) AND wn > 0
        THEN ((2 * wsum * 1000000 + wn) // (2 * wn)) / 1000000.0
   END AS mean_luma,
   CASE WHEN k = 0 THEN
       CASE WHEN wrap > 0 THEN 255 ELSE s + ph - 1 END
+       WHEN k = 1 THEN
+      CASE WHEN jwrapall > 0 THEN 255 ELSE s + jbh - 1 END
        WHEN k = 2 THEN
       CASE WHEN gwrap > 0 THEN 255 ELSE s + gh - 1 END
        WHEN k IN (3, 4, 5) AND wn > 0 THEN
@@ -687,6 +700,7 @@ SELECT
   END AS max_luma,
   CASE WHEN k = 0 THEN round(
       (ph - CASE WHEN s = 0 OR wrap > 0 THEN 1 ELSE 0 END) / CAST(ph AS DOUBLE), 6)
+       WHEN k = 1 THEN ((2 * (jh - jzvis) * 1000000 + jh) // (2 * jh)) / 1000000.0
        WHEN k = 2 THEN ((2 * (gh - gzero) * 1000000 + gh) // (2 * gh)) / 1000000.0
        WHEN k IN (3, 4, 5) AND wn > 0
        THEN ((2 * (wn - wzero) * 1000000 + wn) // (2 * wn)) / 1000000.0

@@ -542,3 +542,46 @@ def test_mp4_raw_pcm_decode():
     idx = bad.find(b"raw ")
     bad[idx : idx + 4] = b"mp4a"
     assert _mp4_content(bytes(bad)) is None
+
+
+def test_jpeg_dc_only_decode():
+    """_jpeg_content decodes the real entropy layer (DHT Huffman build, DC
+    prediction, sign extension, byte unstuffing) for the DC-only baseline
+    subset; blocks with AC energy, header-only payloads and truncation
+    degrade to None."""
+    from addressparser_spark.operators.multimodal import (
+        _jpeg_content,
+        _jpeg_dims,
+        make_jpeg,
+        synth_payload,
+    )
+
+    def gt(pixels: bytes):
+        n = len(pixels)
+        total, nz = sum(pixels), sum(1 for b in pixels if b)
+        return (
+            ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
+            max(pixels),
+            ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
+        )
+
+    # edge blocks, wrap past 255, full-byte and partial-byte final pads
+    for w, h, seed in ((8, 8, 0), (17, 31, 120), (255, 240, 250), (16, 255, 252)):
+        pixels = b"".join(bytes([(seed + r // 8) % 256]) * w for r in range(h))
+        j = make_jpeg(w, h, pixels)
+        assert _jpeg_dims(j) == (w, h)
+        assert _jpeg_content(j) == gt(pixels), (w, h, seed)
+
+    # synth law end-to-end for a jpeg doc_id (1 mod 6)
+    pix = b"".join(bytes([(1 + r // 8) % 256]) * 17 for r in range(16))
+    assert _jpeg_content(synth_payload(1)) == gt(pix)
+
+    assert _jpeg_content(make_jpeg(9, 9)) is None  # header-only: no scan
+    full = make_jpeg(32, 24, bytes([7]) * 32 * 24)
+    for i in range(0, len(full), 37):
+        _jpeg_content(full[:i])  # truncation sweep: never raises
+    # corrupt a scan byte: a desynced Huffman stream must degrade (None or
+    # a clean parse of whatever validly decodes) — never raise
+    bad = bytearray(full)
+    bad[-4] ^= 0x55
+    _jpeg_content(bytes(bad))
