@@ -376,8 +376,11 @@ def _gif_content(payload: bytes) -> tuple[float, int, float] | None:
                 if len(pal) < 3 * n:
                     return None
                 off += 3 * n
-            if ipacked & 0x40 or pal is None or not iw or not ih:
-                return None  # interlace out of scope / no palette
+            # interlace (0x40) permutes ROW order across four passes; the
+            # stats here are order-invariant folds over all pixels, so the
+            # same index-stream walk covers interlaced images too
+            if pal is None or not iw or not ih:
+                return None  # no palette to map indices through
             if off >= len(payload):
                 return None
             mcs = payload[off]
@@ -896,16 +899,20 @@ def _mp4_content(payload: bytes) -> tuple[float, int, float] | None:
     those the sample table IS the decode map: walk
     ``moov/trak/mdia`` to find the ``soun`` handler, read the ``stbl``'s
     ``stsd`` (format + channels + sample size), ``stsz`` (uniform 1-byte
-    samples) and ``stco`` (single chunk offset), then read the samples
-    straight out of ``mdat``. Anything else — compressed formats, stereo,
-    wider samples, multi-chunk layouts, offsets out of range — returns
-    None; header facts still come from ``_mp4_meta``. Same unsigned-8-bit
-    convention and integer half-up rounding as ``_wav_content``.
+    samples), ``stsc`` (chunk-run -> samples-per-chunk map) and ``stco``
+    (per-chunk offsets), then read each chunk's samples straight out of
+    ``mdat``. Anything else — compressed formats, stereo, wider samples,
+    offsets out of range, a chunk map that does not cover the sample
+    count — returns None; header facts still come from ``_mp4_meta``.
+    Same unsigned-8-bit convention and integer half-up rounding as
+    ``_wav_content``.
     """
     if len(payload) < 16 or payload[4:8] != b"ftyp":
         return None
     fmt = channels = samplesize = None
-    uniform = count = offset = None
+    uniform = count = None
+    offsets = None
+    chunk_map = None  # list of (first_chunk, samples_per_chunk), 1-based
     for btype, body, bend in _mp4_boxes(payload, 0, len(payload)):
         if btype != b"moov":
             continue
@@ -939,26 +946,65 @@ def _mp4_content(payload: bytes) -> tuple[float, int, float] | None:
                         uniform, count = struct.unpack(
                             ">II", payload[sbody + 4 : sbody + 12]
                         )
-                    elif stype == b"stco" and send - sbody >= 12:
-                        n_chunks, first = struct.unpack(
-                            ">II", payload[sbody + 4 : sbody + 12]
+                    elif stype == b"stsc" and send - sbody >= 8:
+                        (n_runs,) = struct.unpack(
+                            ">I", payload[sbody + 4 : sbody + 8]
                         )
-                        if n_chunks != 1:
-                            return None  # multi-chunk: out of the raw subset
-                        offset = first
+                        if send - sbody < 8 + 12 * n_runs:
+                            return None
+                        chunk_map = [
+                            struct.unpack(
+                                ">II", payload[sbody + 8 + 12 * i : sbody + 16 + 12 * i]
+                            )
+                            for i in range(n_runs)
+                        ]
+                    elif stype == b"stco" and send - sbody >= 8:
+                        (n_chunks,) = struct.unpack(
+                            ">I", payload[sbody + 4 : sbody + 8]
+                        )
+                        if send - sbody < 8 + 4 * n_chunks:
+                            return None
+                        offsets = [
+                            struct.unpack(
+                                ">I", payload[sbody + 8 + 4 * i : sbody + 12 + 4 * i]
+                            )[0]
+                            for i in range(n_chunks)
+                        ]
     if fmt not in (b"raw ", b"sowt", b"twos"):
         return None
     if channels != 1 or samplesize != 8 or uniform != 1 or not count:
         return None
-    if offset is None or offset + count > len(payload):
+    if not offsets or not chunk_map or chunk_map[0][0] != 1:
         return None
-    samples = payload[offset : offset + count]
-    n = len(samples)
-    total = sum(samples)
-    nz = n - samples.count(0)
+    # walk the chunk runs: run i applies from its first_chunk until the
+    # next run's first_chunk (ISO 14496-12 semantics), chunks 1-based
+    total = nz = max_amp = 0
+    got = 0
+    for ci, off_c in enumerate(offsets, start=1):
+        spc = None
+        for first, per in chunk_map:
+            if first <= ci:
+                spc = per
+            else:
+                break
+        if spc is None:
+            return None
+        spc = min(spc, count - got)  # last chunk may be short
+        if spc <= 0 or off_c + spc > len(payload):
+            return None
+        chunk = payload[off_c : off_c + spc]
+        total += sum(chunk)
+        nz += spc - chunk.count(0)
+        m = max(chunk)
+        if m > max_amp:
+            max_amp = m
+        got += spc
+    if got != count:
+        return None  # chunk map does not cover the sample count
+    n = count
     return (
         ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
-        max(samples),
+        max_amp,
         ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
     )
 
@@ -1111,12 +1157,19 @@ def make_wav(
     )
 
 
-def make_gif(width: int, height: int, pixels: bytes | None = None) -> bytes:
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) rows
+
+
+def make_gif(
+    width: int, height: int, pixels: bytes | None = None, interlaced: bool = False
+) -> bytes:
     """Build a valid GIF89a. Header-only when ``pixels`` is omitted
     (screen descriptor + trailer — dims parse, content degrades to NULL);
     with ``pixels`` (row-major luma, len == width*height) a full image:
     256-entry grayscale global color table (palette index == luma) + a
-    REAL LZW-compressed index stream in <=255-byte sub-blocks."""
+    REAL LZW-compressed index stream in <=255-byte sub-blocks.
+    ``interlaced`` stores the rows in the GIF87a four-pass order and sets
+    the image descriptor's interlace flag."""
     if pixels is None:
         return (
             b"GIF89a" + struct.pack("<HH", width, height)
@@ -1124,6 +1177,12 @@ def make_gif(width: int, height: int, pixels: bytes | None = None) -> bytes:
             + b"\x3b"  # trailer
         )
     assert len(pixels) == width * height
+    if interlaced:
+        pixels = b"".join(
+            pixels[r * width : (r + 1) * width]
+            for start, step in _GIF_INTERLACE_PASSES
+            for r in range(start, height, step)
+        )
     gct = bytes(v for i in range(256) for v in (i, i, i))
     lzw = _lzw_encode(8, pixels)
     blocks = b"".join(
@@ -1134,7 +1193,8 @@ def make_gif(width: int, height: int, pixels: bytes | None = None) -> bytes:
         b"GIF89a" + struct.pack("<HH", width, height)
         + bytes([0xF7, 0x00, 0x00])  # GCT present, 8-bit, bg 0, aspect 0
         + gct
-        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        + bytes([0x40 if interlaced else 0x00])
         + bytes([8])  # LZW min code size
         + blocks + b"\x00"  # sub-blocks + terminator
         + b"\x3b"
@@ -1332,7 +1392,10 @@ def synth_media(docs: DataFrame) -> DataFrame:
 
 
 def make_mp4_audio(
-    duration_ms: int, sample_rate: int = 8000, samples: bytes | None = None
+    duration_ms: int,
+    sample_rate: int = 8000,
+    samples: bytes | None = None,
+    n_chunks: int = 1,
 ) -> bytes:
     """Build a structurally-valid MP4 carrying an UNCOMPRESSED 8-bit mono
     PCM audio track (QuickTime ``raw `` sample entry): ftyp + moov(mvhd +
@@ -1343,7 +1406,9 @@ def make_mp4_audio(
     n_samples = sample_rate * duration_ms // 1000
     if samples is None:
         samples = bytes(n_samples)
-    assert len(samples) == n_samples
+    assert len(samples) == n_samples and 1 <= n_chunks <= n_samples
+    spc = (n_samples + n_chunks - 1) // n_chunks  # last chunk may be short
+    sizes = [min(spc, n_samples - i * spc) for i in range(n_chunks)]
 
     def box(btype: bytes, data: bytes) -> bytes:
         return struct.pack(">I", len(data) + 8) + btype + data
@@ -1383,9 +1448,22 @@ def make_mp4_audio(
         )
         stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
         stts = box(b"stts", bytes(4) + struct.pack(">III", 1, n_samples, 1))
-        stsc = box(b"stsc", bytes(4) + struct.pack(">IIII", 1, 1, n_samples, 1))
+        # one stsc run for the equal-size chunks + one for a short tail
+        runs = [(1, sizes[0])]
+        if len(sizes) > 1 and sizes[-1] != sizes[0]:
+            runs.append((len(sizes), sizes[-1]))
+        stsc = box(
+            b"stsc",
+            bytes(4) + struct.pack(">I", len(runs))
+            + b"".join(struct.pack(">III", first, per, 1) for first, per in runs),
+        )
         stsz = box(b"stsz", bytes(4) + struct.pack(">II", 1, n_samples))
-        stco = box(b"stco", bytes(4) + struct.pack(">II", 1, mdat_off))
+        starts = [mdat_off + i * spc for i in range(n_chunks)]
+        stco = box(
+            b"stco",
+            bytes(4) + struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">I", o) for o in starts),
+        )
         stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
         minf = box(b"minf", smhd + stbl)
         mdia = box(b"mdia", mdhd + hdlr + minf)

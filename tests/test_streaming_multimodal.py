@@ -440,11 +440,11 @@ def test_gif_pixel_decode():
     full = make_gif(16, 16, bytes(range(256)))
     for i in range(0, len(full), 101):
         _gif_content(full[:i])  # truncation sweep: never raises
-    interlaced = bytearray(full)
-    # image descriptor follows the 13-byte header + 768-byte GCT
-    assert interlaced[13 + 768] == 0x2C
-    interlaced[13 + 768 + 9] |= 0x40
-    assert _gif_content(bytes(interlaced)) is None
+    # interlaced storage permutes row order; the stats are order-invariant
+    # folds, so a four-pass image must yield identical values
+    body = bytes(range(256))
+    assert make_gif(16, 16, body, interlaced=True) != full  # really reordered
+    assert _gif_content(make_gif(16, 16, body, interlaced=True)) == _gif_content(full)
     assert _gif_content(b"GIF89a" + bytes(20)) is None
 
 
@@ -532,6 +532,13 @@ def test_mp4_raw_pcm_decode():
     # doc_id 5 -> mp4 video ((5//6)%2==0): header dims, NULL content
     assert _mp4_content(synth_payload(5)) is None
     assert _mp4_meta(synth_payload(5))[2] == 1000 + 5 * 29
+
+    # multi-chunk layouts: stsc chunk-run map + per-chunk stco offsets,
+    # including a short tail chunk — stats identical to the 1-chunk form
+    for nch in (3, 7):
+        samples = _cycle_bytes(9, 8 * 700)
+        multi = make_mp4_audio(700, samples=samples, n_chunks=nch)
+        assert _mp4_content(multi) == ground_truth(samples), nch
 
     good = make_mp4_audio(600, samples=_cycle_bytes(3, 4800))
     for i in range(0, len(good), 173):
