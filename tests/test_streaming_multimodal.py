@@ -592,3 +592,87 @@ def test_jpeg_dc_only_decode():
     bad = bytearray(full)
     bad[-4] ^= 0x55
     _jpeg_content(bytes(bad))
+
+
+def test_flac_blocksize_code_variants():
+    """Hand-crafted frames exercise the blocksize codes the fixture encoder
+    never emits: fixed-size codes (0b0001 -> 192), the 8-bit form (0b0110)
+    and the 256<<n family (0b1001 -> 512)."""
+    import struct
+
+    from addressparser_spark.operators.multimodal import (
+        _crc8,
+        _crc16,
+        _flac_content,
+        make_flac,
+    )
+
+    def craft(blocks):  # blocks: list of (bs_code_byte, extra, samples)
+        total = sum(len(s) for _, _, s in blocks)
+        head = make_flac(total * 1000 // 8000, 8000)  # header for that total
+        assert total % 8 == 0  # keep duration integral at 8 kHz
+        out = bytearray(head)
+        for fno, (code, extra, samples) in enumerate(blocks):
+            hdr = b"\xff\xf8" + bytes([code]) + b"\x02" + bytes([fno]) + extra
+            body = hdr + bytes([_crc8(hdr)]) + b"\x02" + samples
+            out += body + struct.pack(">H", _crc16(body))
+        return bytes(out)
+
+    def gt(samples):
+        n = len(samples)
+        total, nz = sum(samples), sum(1 for b in samples if b)
+        return (
+            ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
+            max(samples),
+            ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
+        )
+
+    s192 = bytes((i * 3) % 256 for i in range(192))
+    s512 = bytes((7 + i) % 256 for i in range(512))
+    s96 = bytes(range(96))
+    # fixed code 0b0001 = 192 samples
+    flac = craft([(0x10, b"", s192)])
+    assert _flac_content(flac) == gt(s192)
+    # 256<<1 code 0b1001 = 512 samples, then an 8-bit-form (0b0110) tail
+    flac = craft([(0x90, b"", s512), (0x60, bytes([95]), s96)])
+    assert _flac_content(flac) == gt(s512 + s96)
+    # reserved blocksize code 0b0000 -> reject
+    assert _flac_content(craft([(0x00, b"", s192)])) is None
+
+
+def test_gif_local_color_table():
+    """An image with a LOCAL color table (no global one) decodes through
+    the local palette — the descriptor-level branch of _gif_content."""
+    import struct
+
+    from addressparser_spark.operators.multimodal import (
+        _gif_content,
+        _lzw_encode,
+        make_gif,
+    )
+
+    w = h = 8
+    pixels = bytes((40 + i) % 256 for i in range(w * h))
+    lzw = _lzw_encode(8, pixels)
+    blocks = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    local = (
+        b"GIF89a" + struct.pack("<HH", w, h)
+        + bytes([0x00, 0x00, 0x00])  # NO global color table
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x87])  # local color table, 256 entries
+        + bytes(v for i in range(256) for v in (i, i, i))
+        + bytes([8]) + blocks + b"\x00" + b"\x3b"
+    )
+    want = _gif_content(make_gif(w, h, pixels))
+    assert want is not None
+    assert _gif_content(local) == want
+    # no palette anywhere -> None
+    no_pal = (
+        b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x00, 0x00, 0x00])
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x00])
+        + bytes([8]) + blocks + b"\x00" + b"\x3b"
+    )
+    assert _gif_content(no_pal) is None
