@@ -516,8 +516,8 @@ def _jpeg_content(payload: bytes) -> tuple[float, int, float] | None:
         if marker == 0xDB:  # DQT: chain of (PqTq + 64 entries)
             p = 0
             while p < len(seg):
-                if seg[p] >> 4 != 0:
-                    return None  # 16-bit tables out of scope
+                if seg[p] >> 4 != 0 or p + 65 > len(seg):
+                    return None  # 16-bit tables / short table out of scope
                 quant[seg[p] & 0xF] = seg[p + 1 : p + 65]
                 p += 65
         elif marker == 0xC4:  # DHT: chain of (TcTh + 16 counts + symbols)
@@ -526,6 +526,8 @@ def _jpeg_content(payload: bytes) -> tuple[float, int, float] | None:
                 tc, th = seg[p] >> 4, seg[p] & 0xF
                 counts = seg[p + 1 : p + 17]
                 n = sum(counts)
+                if p + 17 + n > len(seg):
+                    return None  # declared symbols missing
                 huff[(tc, th)] = _build_huffman(counts, seg[p + 17 : p + 17 + n])
                 p += 17 + n
         elif marker == 0xC0:  # baseline SOF0 only
@@ -754,6 +756,8 @@ def _flac_content(payload: bytes) -> tuple[float, int, float] | None:
             n_cont += 1
         n_cont = max(0, n_cont - 1) if lead & 0x80 else 0
         off += 1 + n_cont
+        if off >= len(payload):
+            return None  # truncated inside the frame-number field
         if bs_code in _FLAC_BLOCKSIZES:
             blocksize = _FLAC_BLOCKSIZES[bs_code]
         elif bs_code == 0b0110:

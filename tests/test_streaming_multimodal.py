@@ -676,3 +676,45 @@ def test_gif_local_color_table():
         + bytes([8]) + blocks + b"\x00" + b"\x3b"
     )
     assert _gif_content(no_pal) is None
+
+
+def test_crafted_malformations_never_raise():
+    """Full-length but LYING payloads (declared sizes exceeding actual
+    content) must degrade to None, not crash: short DQT, DHT with missing
+    symbols, FLAC truncated inside the frame-number field."""
+    import struct
+
+    from addressparser_spark.operators.multimodal import (
+        _crc8,
+        _flac_content,
+        _jpeg_content,
+        make_flac,
+        make_jpeg,
+    )
+
+    good = make_jpeg(16, 16, bytes([9]) * 256)
+
+    def seg(marker, data):
+        return b"\xff" + bytes([marker]) + struct.pack(">H", len(data) + 2) + data
+
+    # DQT whose declared table is cut short (PqTq + only 10 of 64 entries)
+    i = good.find(b"\xff\xdb")
+    j = good.find(b"\xff", i + 2)
+    short_dqt = good[:i] + seg(0xDB, b"\x00" + bytes(10)) + good[j:]
+    assert _jpeg_content(short_dqt) is None
+
+    # DHT declaring 12 symbols but shipping none
+    i = good.find(b"\xff\xc4")
+    j = good.find(b"\xff", i + 2)
+    bad_dht = good[:i] + seg(0xC4, b"\x00" + bytes([0, 12] + [0] * 14)) + good[j:]
+    assert _jpeg_content(bad_dht) is None
+
+    # FLAC whose last bytes end exactly after a frame's UTF-8 number with a
+    # 16-bit blocksize code promised but absent
+    head = make_flac(192 * 1000 // 8000, 8000)
+    hdr = b"\xff\xf8" + bytes([0x60]) + b"\x02" + b"\x00"  # 8-bit form promised
+    assert _flac_content(head + hdr) is None
+    assert _flac_content(head + hdr + bytes([191]) ) is None  # crc byte missing
+    # and with a VALID crc over a header whose samples then run out
+    hdr2 = b"\xff\xf8" + bytes([0x10]) + b"\x02" + b"\x00"  # fixed 192
+    assert _flac_content(head + hdr2 + bytes([_crc8(hdr2)]) + b"\x02") is None
