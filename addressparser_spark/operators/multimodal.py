@@ -411,11 +411,7 @@ def _gif_content(payload: bytes) -> tuple[float, int, float] | None:
                 nz += luma != 0
                 if luma > max_luma:
                     max_luma = luma
-            return (
-                ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
-                max_luma,
-                ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
-            )
+            return _stats_round6(total, max_luma, nz, n)
         else:  # trailer (0x3B) or junk before any image data
             return None
     return None
@@ -586,12 +582,7 @@ def _jpeg_content(payload: bytes) -> tuple[float, int, float] | None:
             nz += n_vis if val else 0
             if val > max_luma:
                 max_luma = val
-    n = w * h
-    return (
-        ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
-        max_luma,
-        ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
-    )
+    return _stats_round6(total, max_luma, nz, w * h)
 
 
 def _gif_dims(payload: bytes) -> tuple[int, int] | None:
@@ -667,12 +658,24 @@ def _wav_content(payload: bytes) -> tuple[float, int, float] | None:
     if audio_format != 1 or channels != 1 or bits != 8:
         return None
     n = len(data)
-    total = sum(data)
-    nz = n - data.count(0)
+    return _stats_round6(sum(data), max(data), n - data.count(0), n)
+
+
+def _stats_round6(
+    total: int, max_v: int, nonzero: int, n: int
+) -> tuple[float, int, float]:
+    """(mean, max, nonzero_frac) with INTEGER half-up rounding at 6 decimals.
+
+    The shared convention of every sample/pixel content decoder except PNG
+    (whose small denominators make Python's float round provably tie-free,
+    see ``_png_content``): counts here reach ~32k where exact .xxxxxx5 ties
+    are reachable, and the integer form is bit-identical to the DuckDB
+    oracle's re-derivation.
+    """
     return (
         ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
-        max(data),
-        ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
+        max_v,
+        ((2 * nonzero * 10**6 + n) // (2 * n)) / 1e6,
     )
 
 
@@ -790,11 +793,7 @@ def _flac_content(payload: bytes) -> tuple[float, int, float] | None:
         got += blocksize
     if got != total:
         return None
-    return (
-        ((2 * total_sum * 10**6 + got) // (2 * got)) / 1e6,
-        max_amp,
-        ((2 * nz * 10**6 + got) // (2 * got)) / 1e6,
-    )
+    return _stats_round6(total_sum, max_amp, nz, got)
 
 
 def _wav_duration_ms(payload: bytes) -> int | None:
@@ -917,12 +916,19 @@ def _mp4_content(payload: bytes) -> tuple[float, int, float] | None:
     uniform = count = None
     offsets = None
     chunk_map = None  # list of (first_chunk, samples_per_chunk), 1-based
+    found = False
     for btype, body, bend in _mp4_boxes(payload, 0, len(payload)):
-        if btype != b"moov":
+        if btype != b"moov" or found:
             continue
         for ctype, cbody, cend in _mp4_boxes(payload, body, bend):
-            if ctype != b"trak":
+            if ctype != b"trak" or found:
                 continue
+            # per-trak scope: one trak's sample entry must never be paired
+            # with another trak's sample tables
+            fmt = channels = samplesize = None
+            uniform = count = None
+            offsets = None
+            chunk_map = None
             for mtype, mbody, mend in _mp4_boxes(payload, cbody, cend):
                 if mtype != b"mdia":
                     continue
@@ -974,11 +980,17 @@ def _mp4_content(payload: bytes) -> tuple[float, int, float] | None:
                             )[0]
                             for i in range(n_chunks)
                         ]
-    if fmt not in (b"raw ", b"sowt", b"twos"):
-        return None
-    if channels != 1 or samplesize != 8 or uniform != 1 or not count:
-        return None
-    if not offsets or not chunk_map or chunk_map[0][0] != 1:
+                # the FIRST fully-qualifying raw-PCM sound trak wins; a
+                # non-qualifying sound trak (compressed, incomplete tables)
+                # just stops contributing instead of poisoning later traks
+                if (
+                    fmt in (b"raw ", b"sowt", b"twos")
+                    and channels == 1 and samplesize == 8
+                    and uniform == 1 and count
+                    and offsets and chunk_map and chunk_map[0][0] == 1
+                ):
+                    found = True
+    if not found:
         return None
     # walk the chunk runs: run i applies from its first_chunk until the
     # next run's first_chunk (ISO 14496-12 semantics), chunks 1-based
@@ -1005,12 +1017,7 @@ def _mp4_content(payload: bytes) -> tuple[float, int, float] | None:
         got += spc
     if got != count:
         return None  # chunk map does not cover the sample count
-    n = count
-    return (
-        ((2 * total * 10**6 + n) // (2 * n)) / 1e6,
-        max_amp,
-        ((2 * nz * 10**6 + n) // (2 * n)) / 1e6,
-    )
+    return _stats_round6(total, max_amp, nz, count)
 
 
 def make_png(

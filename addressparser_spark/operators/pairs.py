@@ -72,21 +72,23 @@ def candidate_pairs(
     """
     if persist:
         blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-    kept, _ = capped_blocks(blocks, max_block_size)
+    # ONE size aggregation feeds the cap filter, the probe and the salted
+    # path's hot set — the shared subtree's shuffle exchange is reused in
+    # the final plan instead of re-aggregating per consumer
+    sizes = block_sizes(blocks)
+    kept = blocks.join(
+        sizes.filter(F.col("block_n") <= max_block_size), "block_key", "left_semi"
+    )
     hot_threshold = max(2, int(max_block_size * HOT_BLOCK_FRACTION))
+    hot_df = sizes.filter(
+        (F.col("block_n") <= max_block_size) & (F.col("block_n") >= hot_threshold)
+    ).select("block_key")
     if salt_hot_blocks is None:
-        salt_hot_blocks = bool(
-            block_sizes(kept)
-            .filter(F.col("block_n") >= hot_threshold)
-            .limit(1)
-            .count()
-        )
+        salt_hot_blocks = bool(hot_df.limit(1).count())
     a = kept.select(F.col("block_key"), F.col("conv_id").alias("conv_a"))
     b = kept.select(F.col("block_key"), F.col("conv_id").alias("conv_b"))
     if salt_hot_blocks:
-        # hot_keys uses a strict >, so near-cap blocks (>= hot_threshold)
-        # land on the salted path exactly when the auto-probe saw them
-        joined = salted_join(a, b, "block_key", "conv_a", threshold=hot_threshold - 1)
+        joined = salted_join(a, b, "block_key", "conv_a", hot=hot_df)
     else:
         joined = a.join(b, "block_key")
     return (

@@ -69,14 +69,22 @@ def salted_join(
     distinct_col: str,
     n_salts: int = N_SALTS,
     threshold: int = HOT_KEY_THRESHOLD,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Equi-join with hot keys salted, cold keys joined normally.
 
     Hot fact rows get a deterministic salt; the dim rows for hot keys are
     replicated n_salts times so every (key, salt) partition finds its match.
     Cold rows take the plain join. Output = union, column set = facts ∪ dim.
+
+    ``hot``: optional precomputed one-column DataFrame of hot keys. A caller
+    that already aggregated the key distribution (e.g. the candidate-pair
+    probe) passes it down so the plan carries ONE aggregation whose shuffle
+    exchange is reused, instead of a second identical groupBy.
     """
-    hot = hot_keys(facts, key, threshold).withColumn("__hot", F.lit(1))
+    if hot is None:
+        hot = hot_keys(facts, key, threshold)
+    hot = hot.select(key).withColumn("__hot", F.lit(1))
     facts_tagged = facts.join(F.broadcast(hot), key, "left")
     hot_facts = facts_tagged.filter(F.col("__hot").isNotNull()).drop("__hot")
     cold_facts = facts_tagged.filter(F.col("__hot").isNull()).drop("__hot")

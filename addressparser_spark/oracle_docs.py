@@ -246,7 +246,10 @@ def text_quality_sql() -> str:
                "ELSE list_sum(list_transform(t.toks, x -> length(x)))"
                " / CAST(len(t.toks) AS DOUBLE) END")
     stop_hits = f"len(list_filter(t.toks, x -> list_contains({stop}, x)))"
-    sym_pat = GOPHER_SYMBOL_PATTERN.replace("\\\\", "\\").replace("'", "''")
+    # quote-doubling only (the file's esc() convention): the shared pattern
+    # is used verbatim by both engines, so any other rewrite would desync
+    # the oracle from Spark's regexp_count
+    sym_pat = GOPHER_SYMBOL_PATTERN.replace("'", "''")
     symbol_ratio = (f"CASE WHEN len(t.toks) = 0 THEN 0.0 "
                     f"ELSE len(regexp_extract_all(d.text, '{sym_pat}'))"
                     f" / CAST(len(t.toks) AS DOUBLE) END")

@@ -125,9 +125,14 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        # a silent partial result would grade as a wrong answer — and the
+        # cleanup below must never run under a still-executing query
+        q.stop()
+        raise TimeoutError("stream_sessionize did not finish within 600s")
     # memory sink has materialized; the staged inputs can go
     shutil.rmtree(work, ignore_errors=True)
     return (
@@ -179,9 +184,14 @@ def stream_incremental_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(work, "registry"),
         os.path.join(work, "ck"),
     )
-    q.awaitTermination(900)
+    finished = q.awaitTermination(900)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "stream_incremental_linkage did not finish within 900s"
+        )
     # NOTE: out_dir parquet is the returned frame's backing store — the temp
     # tree must outlive the caller's collect, so no cleanup here.
     return spark.read.parquet(out_dir).select("conv_id", "cluster_id", "entity_id")

@@ -64,7 +64,6 @@ def _make_fold(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        gap_us = SESSION_GAP_SECONDS * 1_000_000
 
         if set_timeout and state.hasTimedOut:
             # watermark passed last_event + gap with no new events for this
@@ -93,7 +92,16 @@ def _make_fold(
             pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 ts_us = int(ts.value // 1_000)  # pandas ns -> us
-                if last_ts_us is not None and ts_us - last_ts_us > gap_us:
+                # the gap compares FLOORED SECONDS, exactly like the batch
+                # twin's unix_timestamp() diff (and the DuckDB oracle's
+                # date_diff('second')) — a raw-microsecond compare diverges
+                # one-sidedly on gaps inside (gap, gap+1) seconds when the
+                # later event carries the larger fractional part
+                if (
+                    last_ts_us is not None
+                    and ts_us // 1_000_000 - last_ts_us // 1_000_000
+                    > SESSION_GAP_SECONDS
+                ):
                     closed.append((user_id, sess_idx, n_events, round(session_value, 2)))
                     sess_idx += 1
                     n_events, session_value = 0, 0.0
@@ -103,10 +111,12 @@ def _make_fold(
 
         state.update((last_ts_us, sess_idx, n_events, session_value))
         if set_timeout and last_ts_us is not None:
-            # flush when the watermark proves the gap; Spark requires the
-            # timeout timestamp to be strictly ahead of the current watermark
+            # flush when the watermark proves the gap; +1s so the timeout
+            # only fires once even a floored-second gap would exceed the
+            # threshold (matching the closure rule above); Spark requires
+            # the timestamp strictly ahead of the current watermark
             timeout_ms = max(
-                last_ts_us // 1_000 + SESSION_GAP_SECONDS * 1_000,
+                (last_ts_us // 1_000_000 + SESSION_GAP_SECONDS + 1) * 1_000,
                 state.getCurrentWatermarkMs() + 1,
             )
             state.setTimeoutTimestamp(timeout_ms)

@@ -48,7 +48,6 @@ SCALING_CORES = (4, 16)
 # jobs long enough to amortize them below the noise floor. Fixed costs are
 # the same additive constant at both sizes by construction (identical plan,
 # only the fanout literal differs).
-WORKER_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_WORKER_RUNS", "1"))
 
 HEADLINE = [
     "er_conv_signatures",
@@ -141,7 +140,7 @@ def _headline(spark) -> tuple[dict[str, float], list[float]]:
 
 
 # Each conv is scored against its next N neighbors. The slope estimator
-# cancels fixed costs exactly (see WORKER_RUNS note), so the pass no longer
+# cancels fixed costs exactly (see the slope note above), so the pass no longer
 # needs to be big enough to amortize them below the noise floor — it only
 # needs enough work that the large-minus-small delta (~3/4 of the large
 # pass) is a stable timing target: ~5.7M large / ~1.4M small pairs gives a

@@ -215,3 +215,44 @@ def test_stateful_sessions_match_batch(spark, sf_dir, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_gap_uses_floored_seconds(spark, tmp_path):
+    """The session gap compares FLOORED seconds, matching the batch twin's
+    unix_timestamp() diff and the DuckDB oracle's date_diff('second'): a
+    raw gap of 1800.7s (floored diff 1800) must NOT split, while a floored
+    diff of 1801 must."""
+    import datetime as dt
+
+    from addressparser_spark.streaming.stateful import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0, 200_000)
+    t1 = t0 + dt.timedelta(seconds=1800, microseconds=700_000)  # floored: 1800
+    t2 = t1 + dt.timedelta(seconds=1800, microseconds=900_000)  # floored: 1801
+    t3 = t2 + dt.timedelta(hours=2)  # closes the second session
+    rows = [(1, 1, t0, 1.0), (1, 2, t1, 1.0), (1, 3, t2, 1.0), (1, 4, t3, 1.0)]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, value double"
+    ).coalesce(1).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        "user_id bigint, event_id bigint, ts timestamp, value double"
+    ).parquet(in_dir)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("floored_gap")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {
+        r["sess_idx"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM floored_gap").collect()
+    }
+    # session 0 = events 1+2 (1800.7s raw gap stays together), session 1 =
+    # event 3 alone; session 2 (event 4) is still open -> not emitted
+    assert got == {0: 2, 1: 1}, got

@@ -718,3 +718,35 @@ def test_crafted_malformations_never_raise():
     # and with a VALID crc over a header whose samples then run out
     hdr2 = b"\xff\xf8" + bytes([0x10]) + b"\x02" + b"\x00"  # fixed 192
     assert _flac_content(head + hdr2 + bytes([_crc8(hdr2)]) + b"\x02") is None
+
+
+def test_mp4_multi_trak_no_cross_poisoning():
+    """A compressed sound trak with complete sample tables followed by a
+    raw-PCM sound trak MISSING its stsz must yield None — one trak's
+    sample entry must never pair with another trak's tables."""
+    import struct
+
+    from addressparser_spark.operators.multimodal import (
+        _cycle_bytes,
+        _mp4_boxes,
+        _mp4_content,
+        make_mp4_audio,
+    )
+
+    original = make_mp4_audio(500, samples=_cycle_bytes(5, 4000))
+    assert _mp4_content(original) is not None
+    boxes = {t: (b - 8, e) for t, b, e in _mp4_boxes(original, 0, len(original))}
+    fstart, fend = boxes[b"ftyp"]
+    mstart, mend = boxes[b"moov"]
+    dstart, dend = boxes[b"mdat"]
+    inner = {
+        t: (b - 8, e) for t, b, e in _mp4_boxes(original, mstart + 8, mend)
+    }
+    mvhd = original[slice(*inner[b"mvhd"])]
+    trak = original[slice(*inner[b"trak"])]
+    trak_mp4a = trak.replace(b"raw ", b"mp4a")  # compressed entry, full tables
+    trak_no_stsz = trak.replace(b"stsz", b"free")  # raw entry, tables broken
+    body = mvhd + trak_mp4a + trak_no_stsz
+    moov = struct.pack(">I", len(body) + 8) + b"moov" + body
+    crafted = original[fstart:fend] + moov + original[dstart:dend]
+    assert _mp4_content(crafted) is None
